@@ -1,0 +1,561 @@
+"""NDA — the "nearby attention" family, TPU-native.
+
+Covers the reference's sparse attention ops
+(/root/reference/nuwa_pytorch/nuwa_pytorch.py):
+  * ``Sparse3DNA``       (:381-613)  — causal/centered 3D video neighborhoods
+  * ``SparseCausal2DNA`` (:615-759)  — causal audio (time × tokens-per-step)
+  * ``SparseCross2DNA``  (:761-901)  — video→sketch per-frame 2D neighborhoods
+
+Instead of torch ``unfold`` + per-token patch extraction, neighborhoods are
+*static index tables* built once from the (static) grid shape, kernel, and
+dilation. Under jit these fold into the compiled program; the XLA path is a
+single gather + two batched contractions. The Pallas block-local kernel
+(nuwa_tpu/kernels) replaces the gather on the training hot path.
+
+Semantics notes (verified against the reference):
+  * causal mode: the window along every axis *ends at the query* — offsets
+    -(K-1)·d … 0 — matching the reference's asymmetric causal padding
+    (:424-429). Combined with raster-scan AR ordering this is strictly causal.
+  * the <bos> token is handled out-of-band: every query also attends a bos
+    key/value column (bias 0, never masked); bos itself adopts its own value
+    (:499,:608).
+  * audio 2DNA attends *all* tokens within each of the K dilated past
+    timesteps (kernel spans the full height axis, :642), replicating the
+    reference exactly (incl. same-timestep lookahead when height > 1).
+  * unlike the reference, keys in the zero-padded partial last frame are
+    masked out (the reference attends them as zero-keys, :452-457 — a quirk
+    that only matters at generation time).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.layers import Dense, Module, dropout, kaiming_uniform, normal_init
+from .ops.attention import merge_heads, split_heads, talking_heads
+from .ops.embeddings import AxialPositionalEmbedding
+from .ops.utils import cast_tuple, masked_fill, max_neg_value, mult_reduce, stable_softmax
+
+
+# ---------------------------------------------------------------------------
+# static neighborhood index tables
+# ---------------------------------------------------------------------------
+
+
+def _axis_neighbors(size: int, k: int, dilation: int, mode: str):
+    """Per-axis neighbor coordinates (size, k̃) + validity, as numpy.
+
+    mode: 'causal'   -> q + {-(k-1)d … 0}
+          'centered' -> q + {-(k-1)/2·d … +(k-1)/2·d}
+          'full'     -> all absolute positions (k ignored; k̃ = size)
+    """
+    q = np.arange(size)[:, None]
+    if mode == "full":
+        nb = np.broadcast_to(np.arange(size)[None, :], (size, size)).copy()
+        valid = np.ones_like(nb, dtype=bool)
+        return nb, valid
+    if mode == "causal":
+        offs = (np.arange(k) - (k - 1)) * dilation
+    elif mode == "centered":
+        offs = (np.arange(k) - (k - 1) // 2) * dilation
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    nb = q + offs[None, :]
+    valid = (nb >= 0) & (nb < size)
+    return np.clip(nb, 0, size - 1), valid
+
+
+def build_nda_indices(
+    shape: Tuple[int, ...],
+    kernel: Tuple[int, ...],
+    dilation: Tuple[int, ...],
+    modes: Tuple[str, ...],
+):
+    """Build (T, Kn) flat neighbor indices and validity for a token grid.
+
+    T = prod(shape); Kn = prod(per-axis window sizes). Enumeration of the Kn
+    window positions is row-major over axes — identical to torch unfold's
+    patch ordering, so per-kernel-position rel-pos-bias tables line up.
+    """
+    per_axis = [
+        _axis_neighbors(s, k, d, m)
+        for s, k, d, m in zip(shape, kernel, dilation, modes)
+    ]
+    # combine axes with an outer product
+    ndim = len(shape)
+    strides = np.cumprod((1,) + tuple(reversed(shape)))[::-1][1:]  # row-major
+
+    idx = np.zeros((1, 1), dtype=np.int64)
+    valid = np.ones((1, 1), dtype=bool)
+    for axis in range(ndim):
+        nb, v = per_axis[axis]  # (s_axis, k_axis)
+        s_axis, k_axis = nb.shape
+        # current idx: (Q, K); expand with this axis
+        Q, K = idx.shape
+        idx = (
+            idx[:, None, :, None] + (nb * strides[axis])[None, :, None, :]
+        ).reshape(Q * s_axis, K * k_axis)
+        valid = (valid[:, None, :, None] & v[None, :, None, :]).reshape(
+            Q * s_axis, K * k_axis
+        )
+    return idx.astype(np.int32), valid
+
+
+def _full_window_sizes(shape, kernel, modes):
+    return tuple(
+        s if m == "full" else k for s, k, m in zip(shape, kernel, modes)
+    )
+
+
+def gather_neighbors(t, idx):
+    """Gather neighbor vectors: t (b, h, n_kv, d), idx (n_q, Kn) -> (b, h, n_q, Kn, d)."""
+    return jnp.take(t, idx, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# shared gather-attention core
+# ---------------------------------------------------------------------------
+
+
+def _nda_attend(
+    q,  # (b, h, n, d) scaled
+    k_nb,  # (b, h, n, Kn, d)
+    v_nb,  # (b, h, n, Kn, d)
+    valid,  # (n, Kn) bool or broadcastable
+    k_bos,  # (b, h, 1, d) or None
+    v_bos,
+    rel_pos_bias,  # (h, Kn) or None
+    th_w,  # talking heads weight (h, h)
+    drop_rate=0.0,
+    drop_key=None,
+):
+    neg = max_neg_value(jnp.float32)
+    sim = jnp.einsum("bhid,bhijd->bhij", q, k_nb)
+    if rel_pos_bias is not None:
+        sim = sim + rel_pos_bias[None, :, None, :].astype(sim.dtype)
+    sim = masked_fill(sim, ~valid[None, None, :, :], neg)
+
+    if k_bos is not None:
+        sim_bos = jnp.einsum("bhid,bhd->bhi", q, k_bos[:, :, 0])[..., None]
+        sim = jnp.concatenate([sim_bos, sim], axis=-1)
+
+    attn = stable_softmax(sim, axis=-1)
+    attn = talking_heads(attn, th_w)
+    attn = dropout(attn, drop_rate, drop_key)
+    attn = attn.astype(v_nb.dtype)
+
+    if v_bos is not None:
+        attn_bos, attn = attn[..., :1], attn[..., 1:]
+        out = jnp.einsum("bhij,bhijd->bhid", attn, v_nb)
+        out = out + attn_bos * v_bos
+    else:
+        out = jnp.einsum("bhij,bhijd->bhid", attn, v_nb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sparse3DNA
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Sparse3DNA(Module):
+    """3D Nearby Attention over a (frames, height, width) token grid.
+
+    Parity: reference ``Sparse3DNA`` (nuwa_pytorch.py:381-613). Grid shape,
+    kernel and dilation are static config; the neighbor table and masks are
+    numpy constants folded into the jitted graph.
+    """
+
+    dim: int
+    video_shape: Tuple[int, int, int]  # (max_frames, fmap, fmap)
+    kernel_size: Tuple[int, int, int] | int = 3
+    dilation: Tuple[int, int, int] | int = 1
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    causal: bool = False
+    query_num_frames_chunk: Optional[int] = None  # memory knob (scan chunking)
+    rel_pos_bias: bool = False
+    use_pallas: bool = False  # production kernel (nuwa_tpu/kernels)
+
+    @property
+    def kernel(self):
+        k = cast_tuple(self.kernel_size, 3)
+        assert all(n % 2 == 1 for n in k), "kernel size must be odd"
+        return k
+
+    @property
+    def dilations(self):
+        return cast_tuple(self.dilation, 3)
+
+    @property
+    def kernel_numel(self):
+        return mult_reduce(self.kernel)
+
+    @property
+    def inner_dim(self):
+        return self.heads * self.dim_head
+
+    @property
+    def bias_module(self):
+        return AxialPositionalEmbedding(self.heads, shape=self.kernel)
+
+    def init(self, key):
+        ks = jax.random.split(key, 5)
+        p = {
+            "to_q": Dense(self.dim, self.inner_dim).init(ks[0]),
+            "to_kv": Dense(self.dim, self.inner_dim * 2).init(ks[1]),
+            # reference to_out keeps its bias (nn.Linear default, :405)
+            "to_out": Dense(self.inner_dim, self.dim, use_bias=True).init(ks[2]),
+            "talking_heads": kaiming_uniform(
+                ks[3], (self.heads, self.heads), self.heads
+            ),
+        }
+        if self.rel_pos_bias:
+            p["rel_pos_bias"] = self.bias_module.init(ks[4])
+        return p
+
+    def _indices(self, num_frames: int):
+        """Neighbor table for the first ``num_frames`` frames (numpy)."""
+        f, h, w = self.video_shape
+        mode = "causal" if self.causal else "centered"
+        idx, valid = build_nda_indices(
+            (num_frames, h, w), self.kernel, self.dilations, (mode,) * 3
+        )
+        return idx, valid
+
+    def _rel_bias(self, p):
+        if not self.rel_pos_bias:
+            return None
+        table = self.bias_module(p["rel_pos_bias"])  # (Kn, heads)
+        return table.T  # (heads, Kn)
+
+    def __call__(self, p, x, *, key=None, **_):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        f_max, fh, fw = self.video_shape
+        tokens_per_frame = fh * fw
+
+        t = n - 1  # video tokens (after bos)
+        if t == 0:
+            # bos-only: adopt own value (reference :485-486)
+            kv = Dense(self.dim, self.inner_dim * 2)(p["to_kv"], x)
+            _, v = jnp.split(kv, 2, axis=-1)
+            return Dense(self.inner_dim, self.dim, use_bias=True)(p["to_out"], v)
+
+        pad = (-t) % tokens_per_frame
+        num_frames = (t + pad) // tokens_per_frame
+        x_padded = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+        q = Dense(self.dim, self.inner_dim)(p["to_q"], x)
+        kv = Dense(self.dim, self.inner_dim * 2)(p["to_kv"], x_padded)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (split_heads(tt, h) for tt in (q, k, v))
+
+        q = q * (dh**-0.5)
+        q, bos_v_out = q[:, :, 1:], v[:, :, :1]
+        k_bos, k = k[:, :, :1], k[:, :, 1:]
+        v_bos, v = v[:, :, :1], v[:, :, 1:]
+
+        idx_np, valid_np = self._indices(num_frames)
+        idx_np, valid_np = idx_np[:t], valid_np[:t]
+        # mask zero-padded phantom tokens in the last partial frame
+        if pad:
+            valid_np = valid_np & (idx_np < t)
+        idx = jnp.asarray(idx_np)
+        valid = jnp.asarray(valid_np)
+
+        rel_bias = self._rel_bias(p)
+
+        if self.use_pallas:
+            from .kernels.nda_pallas import sparse_3dna_pallas
+
+            out = sparse_3dna_pallas(
+                self, q, k, v, k_bos, v_bos, num_frames, t, rel_bias
+            )
+        else:
+            chunk_frames = self.query_num_frames_chunk
+            if chunk_frames is None or chunk_frames >= num_frames:
+                k_nb = gather_neighbors(k, idx)
+                v_nb = gather_neighbors(v, idx)
+                out = _nda_attend(
+                    q, k_nb, v_nb, valid, k_bos, v_bos, rel_bias,
+                    p["talking_heads"], self.dropout, key,
+                )
+            else:
+                out = self._chunked_attend(
+                    p, q, k, v, valid, idx, k_bos, v_bos, rel_bias, key
+                )
+
+        out = jnp.concatenate([bos_v_out, out], axis=2)
+        return Dense(self.inner_dim, self.dim, use_bias=True)(
+            p["to_out"], merge_heads(out)
+        )
+
+    def _chunked_attend(self, p, q, k, v, valid, idx, k_bos, v_bos, rel_bias, key):
+        """Frame-chunked queries bound peak memory (reference :566-604),
+        expressed as a python loop over static chunks (unrolled under jit —
+        each chunk's gather stays small)."""
+        _, _, fh, = (self.video_shape[0], *self.video_shape[1:2], self.video_shape[1])
+        tokens_per_frame = self.video_shape[1] * self.video_shape[2]
+        chunk = self.query_num_frames_chunk * tokens_per_frame
+        t = q.shape[2]
+        outs = []
+        for start in range(0, t, chunk):
+            size = min(chunk, t - start)
+            q_c = q[:, :, start : start + size]
+            idx_c = idx[start : start + size]
+            valid_c = valid[start : start + size]
+            k_nb = gather_neighbors(k, idx_c)
+            v_nb = gather_neighbors(v, idx_c)
+            outs.append(
+                _nda_attend(
+                    q_c, k_nb, v_nb, valid_c, k_bos, v_bos, rel_bias,
+                    p["talking_heads"], self.dropout, key,
+                )
+            )
+        return jnp.concatenate(outs, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# SparseCausal2DNA (audio)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SparseCausal2DNA(Module):
+    """Causal nearby attention for audio tokens laid out (time, height).
+
+    Parity: reference ``SparseCausal2DNA`` (nuwa_pytorch.py:615-759). Each
+    query attends every token of the K dilated past timesteps (the kernel
+    spans the full height axis). Single fused qkv projection, bos
+    out-of-band, optional per-kernel-position axial bias.
+    """
+
+    dim: int
+    height: int = 1  # tokens per timestep
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    kernel_size: int = 5
+    dilation: int = 1
+    rel_pos_bias: bool = False
+    max_timesteps: int = 4096  # static cap for the index table
+
+    @property
+    def inner_dim(self):
+        return self.heads * self.dim_head
+
+    @property
+    def kernel_numel(self):
+        return self.kernel_size * self.height
+
+    @property
+    def bias_module(self):
+        return AxialPositionalEmbedding(
+            self.heads, shape=(self.kernel_size, self.height)
+        )
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        p = {
+            "to_qkv": Dense(self.dim, self.inner_dim * 3).init(ks[0]),
+            "to_out": Dense(self.inner_dim, self.dim).init(ks[1]),
+            "talking_heads": kaiming_uniform(
+                ks[2], (self.heads, self.heads), self.heads
+            ),
+        }
+        if self.rel_pos_bias:
+            p["rel_pos_bias"] = self.bias_module.init(ks[3])
+        return p
+
+    def __call__(self, p, x, *, key=None, **_):
+        b, n, _ = x.shape
+        h = self.heads
+
+        t = n - 1
+        qkv = lambda inp: jnp.split(
+            Dense(self.dim, self.inner_dim * 3)(p["to_qkv"], inp), 3, axis=-1
+        )
+        if t == 0:
+            _, _, v = qkv(x)
+            return Dense(self.inner_dim, self.dim)(p["to_out"], v)
+
+        pad = (-t) % self.height
+        x_padded = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+        q, k, v = qkv(x_padded)
+        q, k, v = (split_heads(tt, h) for tt in (q, k, v))
+        q = q * (self.dim_head**-0.5)
+
+        bos_v_out = v[:, :, :1]
+        q = q[:, :, 1 : t + 1]
+        k_bos, k = k[:, :, :1], k[:, :, 1:]
+        v_bos, v = v[:, :, :1], v[:, :, 1:]
+
+        timesteps = (t + pad) // self.height
+        idx_np, valid_np = build_nda_indices(
+            (timesteps, self.height),
+            (self.kernel_size, self.height),
+            (self.dilation, 1),
+            ("causal", "full"),
+        )
+        idx_np, valid_np = idx_np[:t], valid_np[:t]
+        if pad:
+            valid_np = valid_np & (idx_np < t)
+        idx = jnp.asarray(idx_np)
+        valid = jnp.asarray(valid_np)
+
+        rel_bias = None
+        if self.rel_pos_bias:
+            rel_bias = self.bias_module(p["rel_pos_bias"]).T  # (heads, Kn)
+
+        k_nb = gather_neighbors(k, idx)
+        v_nb = gather_neighbors(v, idx)
+        out = _nda_attend(
+            q, k_nb, v_nb, valid, k_bos, v_bos, rel_bias,
+            p["talking_heads"], self.dropout, key,
+        )
+        out = jnp.concatenate([bos_v_out, out], axis=2)
+        return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# SparseCross2DNA (video -> sketch context)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SparseCross2DNA(Module):
+    """Cross attention from video queries to a per-frame 2D spatial
+    neighborhood of the context (sketch) tokens, plus null k/v.
+
+    Parity: reference ``SparseCross2DNA`` (nuwa_pytorch.py:761-901). A query
+    at spatial (y, x) — any frame — attends the centered kernel neighborhood
+    around (y, x) in *every* context frame; <bos> attends the full context.
+    """
+
+    dim: int
+    image_size: int  # fmap size of the context frames
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    kernel_size: int = 3
+    dilation: int = 1
+
+    @property
+    def inner_dim(self):
+        return self.heads * self.dim_head
+
+    @property
+    def kernel_numel(self):
+        return self.kernel_size * self.kernel_size
+
+    def init(self, key):
+        ks = jax.random.split(key, 6)
+        return {
+            "to_q": Dense(self.dim, self.inner_dim).init(ks[0]),
+            "to_kv": Dense(self.dim, self.inner_dim * 2).init(ks[1]),
+            "to_out": Dense(self.inner_dim, self.dim).init(ks[2]),
+            "null_k": normal_init(ks[3], (self.heads, 1, self.dim_head)),
+            "null_v": normal_init(ks[4], (self.heads, 1, self.dim_head)),
+            "talking_heads": kaiming_uniform(
+                ks[5], (self.heads, self.heads), self.heads
+            ),
+        }
+
+    def __call__(self, p, x, *, context, context_mask=None, key=None, **_):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        fmap = self.image_size
+        tokens_per_frame = fmap * fmap
+        context_len = context.shape[1]
+        num_ctx_frames = context_len // tokens_per_frame
+
+        if context_mask is None:
+            context_mask = jnp.ones((b, context_len), dtype=bool)
+
+        q = Dense(self.dim, self.inner_dim)(p["to_q"], x)
+        kv = Dense(self.dim, self.inner_dim * 2)(p["to_kv"], context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (split_heads(tt, h) for tt in (q, k, v))
+        q = q * (dh**-0.5)
+
+        null_k = jnp.broadcast_to(p["null_k"].astype(k.dtype), (b, h, 1, dh))
+        null_v = jnp.broadcast_to(p["null_v"].astype(v.dtype), (b, h, 1, dh))
+        neg = max_neg_value(jnp.float32)
+
+        # --- bos query: full attention over [null, context] (:828-844)
+        q_bos = q[:, :, 0]
+        k_full = jnp.concatenate([null_k, k], axis=2)
+        v_full = jnp.concatenate([null_v, v], axis=2)
+        sim_bos = jnp.einsum("bhd,bhjd->bhj", q_bos, k_full)
+        bos_mask = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
+        sim_bos = masked_fill(sim_bos, ~bos_mask[:, None, :], neg)
+        attn_bos = stable_softmax(sim_bos, axis=-1).astype(v_full.dtype)
+        out_bos = jnp.einsum("bhj,bhjd->bhd", attn_bos, v_full)[:, :, None]
+
+        t = n - 1
+        if t == 0:
+            return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out_bos))
+        q = q[:, :, 1:]
+
+        # --- spatial neighborhood table over one frame (centered)
+        idx_np, valid_np = build_nda_indices(
+            (fmap, fmap),
+            (self.kernel_size, self.kernel_size),
+            (self.dilation, self.dilation),
+            ("centered", "centered"),
+        )  # (HW, Kn)
+        idx = jnp.asarray(idx_np)
+        valid = jnp.asarray(valid_np)
+
+        # gather per-frame neighborhoods: k (b,h,Fc,HW,d) -> (b,h,HW,Fc*Kn,d)
+        kf = k.reshape(b, h, num_ctx_frames, tokens_per_frame, dh)
+        vf = v.reshape(b, h, num_ctx_frames, tokens_per_frame, dh)
+        k_nb = jnp.take(kf, idx, axis=3)  # (b,h,Fc,HW,Kn,d)
+        v_nb = jnp.take(vf, idx, axis=3)
+        k_nb = k_nb.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h, tokens_per_frame, num_ctx_frames * self.kernel_numel, dh
+        )
+        v_nb = v_nb.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h, tokens_per_frame, num_ctx_frames * self.kernel_numel, dh
+        )
+
+        # context validity: in-bounds neighborhood AND context_mask
+        cm = context_mask.reshape(b, num_ctx_frames, tokens_per_frame)
+        cm_nb = jnp.take(cm, idx, axis=2)  # (b,Fc,HW,Kn)
+        cm_nb = cm_nb & valid[None, None]
+        cm_nb = cm_nb.transpose(0, 2, 1, 3).reshape(
+            b, tokens_per_frame, num_ctx_frames * self.kernel_numel
+        )
+
+        # queries padded to full frames; every frame shares the same keys
+        pad = (-t) % tokens_per_frame
+        if pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        fq = q.shape[2] // tokens_per_frame
+        q = q.reshape(b, h, fq, tokens_per_frame, dh)
+
+        sim = jnp.einsum("bhfid,bhijd->bhfij", q, k_nb)
+        sim_null = jnp.einsum("bhfid,bhd->bhfi", q, null_k[:, :, 0])[..., None]
+        sim = masked_fill(sim, ~cm_nb[:, None, None, :, :], neg)
+        sim = jnp.concatenate([sim_null, sim], axis=-1)
+
+        attn = stable_softmax(sim, axis=-1)
+        attn = jnp.einsum("bhfij,gh->bgfij", attn, p["talking_heads"].astype(attn.dtype))
+        attn = dropout(attn, self.dropout, key)
+        attn = attn.astype(v_nb.dtype)
+
+        attn_null, attn = attn[..., :1], attn[..., 1:]
+        out = jnp.einsum("bhfij,bhijd->bhfid", attn, v_nb)
+        out = out + attn_null * null_v[:, :, None]
+        out = out.reshape(b, h, fq * tokens_per_frame, dh)[:, :, :t]
+
+        out = jnp.concatenate([out_bos, out], axis=2)
+        return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
