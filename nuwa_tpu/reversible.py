@@ -49,8 +49,18 @@ def zero_cotangent(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
-def _route(ctx: dict, names: Tuple[str, ...]):
-    return {k: ctx[k] for k in names if k in ctx}
+def _route(ctx: dict, names: Tuple[Any, ...]):
+    """Route ctx entries to kwargs. Each entry is either a name (ctx key ==
+    kwarg name) or a ``(ctx_key, kwarg_name)`` pair."""
+    out = {}
+    for entry in names:
+        if isinstance(entry, tuple):
+            src, dst = entry
+        else:
+            src = dst = entry
+        if src in ctx:
+            out[dst] = ctx[src]
+    return out
 
 
 def make_reversible_sequence(couples: Tuple[Tuple[Any, Tuple[str, ...], Any, Tuple[str, ...]], ...]):
