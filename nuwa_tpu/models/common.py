@@ -1,0 +1,50 @@
+"""Shared model-layer machinery: text encoding, AR sampling loop.
+
+The autoregressive ``generate`` here is the TPU-native replacement for the
+reference's host-side token loop (nuwa_pytorch.py:1870-1908): one jitted
+``lax.scan`` over token positions with static shapes. Classifier-free
+guidance runs cond+uncond as a single 2×batch forward (the reference's
+second pass feeds transformer *outputs* back in — a bug noted in SURVEY §7 —
+here the uncond pass correctly reuses the input embeddings).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import gumbel_sample, top_k_filter
+
+
+def ar_decode_loop(
+    *,
+    key,
+    batch,
+    total_tokens,
+    step_logits_fn,
+    filter_thres=0.9,
+    temperature=1.0,
+    cond_scale=2.0,
+):
+    """Generic masked-full-forward AR loop.
+
+    ``step_logits_fn(indices, i) -> (logits_cond (b, V), logits_uncond)`` must
+    compute position-i logits from the (b, total_tokens) int32 buffer; thanks
+    to causal attention the garbage at positions >= i cannot influence them.
+    """
+    indices0 = jnp.zeros((batch, total_tokens), dtype=jnp.int32)
+
+    def step(carry, i):
+        indices, key = carry
+        key, sub = jax.random.split(key)
+        logits, uncond_logits = step_logits_fn(indices, i)
+        if cond_scale != 1 and uncond_logits is not None:
+            logits = uncond_logits + (logits - uncond_logits) * cond_scale
+        filtered = top_k_filter(logits, thres=filter_thres)
+        sample = gumbel_sample(sub, filtered, temperature=temperature)
+        indices = indices.at[:, i].set(sample.astype(jnp.int32))
+        return (indices, key), None
+
+    (indices, _), _ = jax.lax.scan(
+        step, (indices0, key), jnp.arange(total_tokens)
+    )
+    return indices

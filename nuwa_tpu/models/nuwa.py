@@ -1,0 +1,331 @@
+"""NUWA — text → video autoregressive model.
+
+Parity: reference ``NUWA`` (/root/reference/nuwa_pytorch/nuwa_pytorch.py:1723-1964):
+rotary/absolute text encoder, frozen-VAE video tokenization, axial positional
+embeddings, learned <bos>, causal Sparse3DNA decoder with dense cross
+attention to text, condition dropout for classifier-free guidance, and
+``generate`` with top-k + gumbel sampling and CFG.
+
+Functional layout: the model config is static; ``init`` returns the trainable
+params; the frozen VAE's (params, state) are carried under ``params["vae"]``
+(stop-gradient at use — the reference's ``vae.copy_for_eval()`` embedding,
+:1757). ``generate`` runs as a jitted ``lax.scan``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.layers import Embedding, Module, normal_init
+from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
+from ..ops.sampling import prob_mask_like
+from ..transformer import ReversibleTransformer, Transformer
+from ..vqgan_vae import VQGanVAE
+from .common import ar_decode_loop
+
+
+def cross_entropy(logits, targets):
+    """Mean token cross-entropy (fp32)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+@dataclass(frozen=True)
+class NUWA(Module):
+    dim: int
+    vae: Optional[VQGanVAE] = None
+    image_size: Optional[int] = None
+    max_video_frames: int = 5
+    text_num_tokens: int = 49408
+    text_max_seq_len: int = 256
+    text_enc_depth: int = 6
+    text_enc_dim_head: int = 64
+    text_enc_heads: int = 8
+    text_rotary_pos_emb: bool = True
+    enc_reversible: bool = False
+    dec_depth: int = 6
+    dec_dim_head: int = 64
+    dec_heads: int = 8
+    dec_reversible: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    ff_chunk_size: Optional[int] = None
+    embed_gradient_frac: float = 0.2
+    shift_video_tokens: bool = True
+    sparse_3dna_kernel_size: int | Tuple[int, int, int] = 3
+    sparse_3dna_query_num_frames_chunk: Optional[int] = None
+    sparse_3dna_dilation: int | Tuple[int, ...] = 1
+    sparse_3dna_rel_pos_bias: bool = False
+    sparse_3dna_use_pallas: bool = False
+    num_image_tokens: Optional[int] = None  # required when vae is None
+
+    # ---- derived ----------------------------------------------------------
+
+    @property
+    def _image_size(self):
+        assert (self.vae is not None) ^ (self.image_size is not None), (
+            "either VAE or image size must be specified"
+        )
+        return self.vae.image_size if self.vae is not None else self.image_size
+
+    @property
+    def codebook_size(self):
+        if self.vae is not None:
+            return self.vae.codebook_size
+        assert self.num_image_tokens is not None
+        return self.num_image_tokens
+
+    @property
+    def video_fmap_size(self):
+        if self.vae is not None:
+            return self.vae.fmap_size
+        return self._image_size  # treated as the raw fmap size when no VAE
+
+    @property
+    def video_shape(self):
+        fs = self.video_fmap_size
+        return (self.max_video_frames, fs, fs)
+
+    @property
+    def tokens_per_frame(self):
+        return self.video_fmap_size**2
+
+    @property
+    def max_video_tokens(self):
+        return self.max_video_frames * self.tokens_per_frame
+
+    @property
+    def dilations(self):
+        d = self.sparse_3dna_dilation
+        return tuple(range(1, d + 1)) if not isinstance(d, (list, tuple)) else tuple(d)
+
+    @property
+    def text_transformer(self):
+        klass = ReversibleTransformer if self.enc_reversible else Transformer
+        return klass(
+            dim=self.dim,
+            depth=self.text_enc_depth,
+            heads=self.text_enc_heads,
+            dim_head=self.text_enc_dim_head,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            rotary_pos_emb=self.text_rotary_pos_emb,
+        )
+
+    @property
+    def video_transformer(self):
+        klass = ReversibleTransformer if self.dec_reversible else Transformer
+        return klass(
+            dim=self.dim,
+            depth=self.dec_depth,
+            heads=self.dec_heads,
+            dim_head=self.dec_dim_head,
+            causal=True,
+            cross_attend=True,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            ff_chunk_size=self.ff_chunk_size,
+            shift_video_tokens=self.shift_video_tokens,
+            sparse_3dna_video_shape=self.video_shape,
+            sparse_3dna_attn=True,
+            sparse_3dna_kernel_size=self.sparse_3dna_kernel_size,
+            sparse_3dna_dilations=self.dilations,
+            sparse_3dna_query_num_frames_chunk=self.sparse_3dna_query_num_frames_chunk,
+            sparse_3dna_rel_pos_bias=self.sparse_3dna_rel_pos_bias,
+            sparse_3dna_use_pallas=self.sparse_3dna_use_pallas,
+        )
+
+    @property
+    def _text_embedding(self):
+        return Embedding(self.text_num_tokens, self.dim, self.embed_gradient_frac)
+
+    @property
+    def _image_embedding(self):
+        return Embedding(self.codebook_size, self.dim, self.embed_gradient_frac)
+
+    @property
+    def _video_pos_emb(self):
+        return AxialPositionalEmbedding(self.dim, shape=self.video_shape)
+
+    # ---- init -------------------------------------------------------------
+
+    def init(self, key, *, vae_params=None, vae_state=None):
+        ks = jax.random.split(key, 8)
+        p = {
+            "text_embedding": self._text_embedding.init(ks[0]),
+            "text_transformer": self.text_transformer.init(ks[1]),
+            "video_bos": normal_init(ks[2], (self.dim,)),
+            "image_embedding": self._image_embedding.init(ks[3]),
+            "video_pos_emb": self._video_pos_emb.init(ks[4]),
+            "video_transformer": self.video_transformer.init(ks[5]),
+            "to_logits": normal_init(ks[6], (self.dim, self.codebook_size), 0.02),
+        }
+        if not self.text_rotary_pos_emb:
+            p["text_abs_pos_emb"] = Embedding(self.text_max_seq_len, self.dim).init(ks[7])
+        if self.vae is not None:
+            assert vae_params is not None and vae_state is not None, (
+                "pass the trained VAE params/state (frozen copy, reference :1757)"
+            )
+            p["vae"] = {
+                "params": self.vae.eval_params(vae_params),
+                "state": vae_state,
+            }
+        return p
+
+    # ---- text encoder -----------------------------------------------------
+
+    def embed_text(self, p, text, mask=None, *, key=None, train=False):
+        b, seq_len = text.shape
+        assert seq_len <= self.text_max_seq_len
+        tokens = self._text_embedding(p["text_embedding"], text, train=train)
+        rot = None
+        if self.text_rotary_pos_emb:
+            rot = rotary_freqs(seq_len, min(32, self.text_enc_dim_head))
+        else:
+            pos = Embedding(self.text_max_seq_len, self.dim)(
+                p["text_abs_pos_emb"], jnp.arange(seq_len)
+            )
+            tokens = tokens + pos[None]
+        return self.text_transformer(
+            p["text_transformer"], tokens, mask=mask, rotary_pos_emb=rot, key=key
+        )
+
+    # ---- decoder core -----------------------------------------------------
+
+    def _decode_logits(
+        self, p, frame_indices_input, text_embeds, text_mask, *, key=None, train=False
+    ):
+        """frame_indices_input: (b, n) already teacher-force shifted."""
+        b, n = frame_indices_input.shape
+        emb = self._image_embedding(p["image_embedding"], frame_indices_input, train=train)
+        pos = self._video_pos_emb(p["video_pos_emb"])[:n]
+        emb = emb + pos[None]
+        bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+        emb = jnp.concatenate([bos, emb], axis=1)
+        out = self.video_transformer(
+            p["video_transformer"],
+            emb,
+            context=text_embeds,
+            context_mask=text_mask,
+            key=key,
+        )
+        return jnp.dot(out, p["to_logits"])
+
+    # ---- training forward -------------------------------------------------
+
+    def forward(
+        self,
+        p,
+        *,
+        text,
+        video,
+        return_loss=False,
+        cond_dropout_prob=0.2,
+        key=None,
+        train=False,
+    ):
+        b = text.shape[0]
+        text_mask = text != 0
+
+        tkey = dkey = ckey = None
+        if key is not None:
+            tkey, dkey, ckey = jax.random.split(key, 3)
+
+        text_embeds = self.embed_text(p, text, text_mask, key=tkey, train=train)
+
+        if jnp.issubdtype(video.dtype, jnp.integer):
+            frame_indices = video.reshape(b, -1)
+        else:
+            assert video.shape[1] == self.max_video_frames, (
+                "full video frames required during training (reference :1933)"
+            )
+            assert self.vae is not None
+            frame_indices = jax.lax.stop_gradient(
+                self.vae.get_video_indices(
+                    jax.tree.map(jax.lax.stop_gradient, p["vae"]["params"]),
+                    p["vae"]["state"],
+                    video,
+                )
+            ).reshape(b, -1)
+
+        inp = frame_indices[:, :-1] if return_loss else frame_indices
+
+        if train and cond_dropout_prob > 0 and ckey is not None:
+            uncond = prob_mask_like(ckey, (b,), cond_dropout_prob)
+            text_mask = text_mask & ~uncond[:, None]
+
+        logits = self._decode_logits(
+            p, inp, text_embeds, text_mask, key=dkey, train=train
+        )
+        if not return_loss:
+            return logits
+        return cross_entropy(logits, frame_indices)
+
+    __call__ = forward
+
+    # ---- sampling ---------------------------------------------------------
+
+    def generate(
+        self,
+        p,
+        *,
+        text,
+        key,
+        filter_thres=0.9,
+        temperature=1.0,
+        cond_scale=2.0,
+        num_frames=None,
+        decode_max_batchsize=10,
+        decode_video=True,
+    ):
+        """AR sampling, fully on-device (`lax.scan`). Supports
+        num_frames <= max_video_frames (the reference's sliding-window path
+        for longer rollouts lives in ``generate_long``)."""
+        b = text.shape[0]
+        num_frames = num_frames if num_frames is not None else self.max_video_frames
+        assert num_frames <= self.max_video_frames
+        total = num_frames * self.tokens_per_frame
+
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx2 = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask2 = jnp.concatenate(
+                [text_mask, jnp.zeros_like(text_mask)], axis=0
+            )
+
+        def step_logits(indices, i):
+            inp = indices[:, : total - 1] if total > 1 else indices[:, :0]
+            if use_cfg:
+                logits2 = self._decode_logits(
+                    p, jnp.concatenate([inp, inp], axis=0), ctx2, cmask2
+                )
+                row = jax.lax.dynamic_index_in_dim(logits2, i, axis=1, keepdims=False)
+                return row[:b], row[b:]
+            logits = self._decode_logits(p, inp, text_embeds, text_mask)
+            row = jax.lax.dynamic_index_in_dim(logits, i, axis=1, keepdims=False)
+            return row, None
+
+        indices = ar_decode_loop(
+            key=key,
+            batch=b,
+            total_tokens=total,
+            step_logits_fn=step_logits,
+            filter_thres=filter_thres,
+            temperature=temperature,
+            cond_scale=cond_scale,
+        )
+
+        if not decode_video or self.vae is None:
+            return indices
+        return self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], indices,
+            decode_chunks=decode_max_batchsize,
+        )

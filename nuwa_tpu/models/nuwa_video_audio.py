@@ -1,0 +1,376 @@
+"""NUWAVideoAudio — text → joint video + audio generation.
+
+Parity: reference ``NUWAVideoAudio``
+(/root/reference/nuwa_pytorch/nuwa_pytorch.py:1968-2293): twin
+(reversible) dual-modality decoder towers with chunk-aligned cross-modality
+attention; separate video/audio heads; combined loss
+``video_loss + audio_loss * audio_loss_weight``. ``generate`` alternates one
+video frame's tokens then one frame's worth of audio tokens (frame-boundary
+modality toggling, :2198-2208) — here expressed as a single ``lax.scan`` over
+a precomputed modality schedule (static total length), with CFG as a 2×batch
+forward.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.layers import Embedding, Module, normal_init
+from ..dual_decoder import DualModalityDecoder, ReversibleDualModalityDecoder
+from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
+from ..ops.sampling import gumbel_sample, prob_mask_like, top_k_filter
+from ..transformer import ReversibleTransformer, Transformer
+from ..vqgan_vae import VQGanVAE
+from .nuwa import cross_entropy
+
+
+@dataclass(frozen=True)
+class NUWAVideoAudio(Module):
+    vae: VQGanVAE
+    dim: int
+    image_size: int
+    num_audio_tokens: int
+    num_audio_tokens_per_video_frame: int
+    audio_tokens_per_timestep: int = 1
+    max_video_frames: int = 5
+    text_num_tokens: int = 49408
+    text_max_seq_len: int = 256
+    text_enc_depth: int = 6
+    text_enc_dim_head: int = 64
+    text_enc_heads: int = 8
+    text_rotary_pos_emb: bool = False
+    enc_reversible: bool = False
+    dec_reversible: bool = True
+    dec_depth: int = 6
+    dec_dim_head: int = 64
+    dec_heads: int = 8
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    ff_chunk_size: Optional[int] = None
+    embed_gradient_frac: float = 0.2
+    shift_video_tokens: bool = True
+    shift_audio_tokens: bool = True
+    sparse_3dna_kernel_size: int | Tuple[int, int, int] = 3
+    sparse_3dna_query_num_frames_chunk: Optional[int] = None
+    sparse_3dna_dilation: int | Tuple[int, ...] = 1
+    sparse_3dna_rel_pos_bias: bool = True
+    sparse_3dna_use_pallas: bool = False
+    sparse_2dna_kernel_size: int = 7
+    sparse_2dna_dilation: int | Tuple[int, ...] = 1
+    sparse_2dna_rel_pos_bias: bool = True
+    audio_loss_weight: float = 1.0
+    cross_modality_attn_every: int = 3
+
+    # ---- derived ----------------------------------------------------------
+
+    @property
+    def video_fmap_size(self):
+        return self.image_size // (2**self.vae.num_layers)
+
+    @property
+    def video_shape(self):
+        fs = self.video_fmap_size
+        return (self.max_video_frames, fs, fs)
+
+    @property
+    def num_video_tokens_per_frame(self):
+        return self.video_fmap_size**2
+
+    def _dils(self, d):
+        return tuple(range(1, d + 1)) if not isinstance(d, (list, tuple)) else tuple(d)
+
+    @property
+    def text_transformer(self):
+        klass = ReversibleTransformer if self.enc_reversible else Transformer
+        return klass(
+            dim=self.dim,
+            depth=self.text_enc_depth,
+            heads=self.text_enc_heads,
+            dim_head=self.text_enc_dim_head,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+        )
+
+    @property
+    def video_audio_transformer(self):
+        klass = (
+            ReversibleDualModalityDecoder if self.dec_reversible else DualModalityDecoder
+        )
+        return klass(
+            dim=self.dim,
+            depth=self.dec_depth,
+            heads=self.dec_heads,
+            dim_head=self.dec_dim_head,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            ff_chunk_size=self.ff_chunk_size,
+            audio_tokens_per_timestep=self.audio_tokens_per_timestep,
+            shift_audio_tokens=self.shift_audio_tokens,
+            shift_video_tokens=self.shift_video_tokens,
+            sparse_3dna_video_shape=self.video_shape,
+            sparse_3dna_kernel_size=self.sparse_3dna_kernel_size,
+            sparse_3dna_dilations=self._dils(self.sparse_3dna_dilation),
+            sparse_3dna_query_num_frames_chunk=self.sparse_3dna_query_num_frames_chunk,
+            sparse_3dna_rel_pos_bias=self.sparse_3dna_rel_pos_bias,
+            sparse_3dna_use_pallas=self.sparse_3dna_use_pallas,
+            num_audio_tokens_per_video_frame=self.num_audio_tokens_per_video_frame,
+            num_video_tokens_per_frame=self.num_video_tokens_per_frame,
+            cross_modality_attn_every=self.cross_modality_attn_every,
+            sparse_2dna_kernel_size=self.sparse_2dna_kernel_size,
+            sparse_2dna_dilation=self._dils(self.sparse_2dna_dilation),
+            sparse_2dna_rel_pos_bias=self.sparse_2dna_rel_pos_bias,
+        )
+
+    @property
+    def _audio_pos_emb(self):
+        return AxialPositionalEmbedding(
+            self.dim,
+            shape=(
+                self.num_audio_tokens // self.audio_tokens_per_timestep,
+                self.audio_tokens_per_timestep,
+            ),
+        )
+
+    # ---- init -------------------------------------------------------------
+
+    def init(self, key, *, vae_params, vae_state):
+        ks = jax.random.split(key, 12)
+        te = Embedding(self.text_num_tokens, self.dim, self.embed_gradient_frac)
+        ie = Embedding(self.vae.codebook_size, self.dim, self.embed_gradient_frac)
+        ae = Embedding(self.num_audio_tokens, self.dim, self.embed_gradient_frac)
+        p = {
+            "text_embedding": te.init(ks[0]),
+            "text_transformer": self.text_transformer.init(ks[1]),
+            "video_bos": normal_init(ks[2], (self.dim,)),
+            "image_embedding": ie.init(ks[3]),
+            "video_pos_emb": AxialPositionalEmbedding(self.dim, shape=self.video_shape).init(ks[4]),
+            "audio_bos": normal_init(ks[5], (self.dim,)),
+            "audio_embedding": ae.init(ks[6]),
+            "audio_pos_emb": self._audio_pos_emb.init(ks[7]),
+            "video_audio_transformer": self.video_audio_transformer.init(ks[8]),
+            "to_video_logits": normal_init(ks[9], (self.dim, self.vae.codebook_size), 0.02),
+            "to_audio_logits": normal_init(ks[10], (self.dim, self.num_audio_tokens), 0.02),
+            "vae": {"params": self.vae.eval_params(vae_params), "state": vae_state},
+        }
+        if not self.text_rotary_pos_emb:
+            p["text_abs_pos_emb"] = Embedding(self.text_max_seq_len, self.dim).init(ks[11])
+        return p
+
+    # ---- text encoder -----------------------------------------------------
+
+    def embed_text(self, p, text, mask=None, *, key=None, train=False):
+        b, seq_len = text.shape
+        assert seq_len <= self.text_max_seq_len
+        te = Embedding(self.text_num_tokens, self.dim, self.embed_gradient_frac)
+        tokens = te(p["text_embedding"], text, train=train)
+        rot = None
+        if self.text_rotary_pos_emb:
+            rot = rotary_freqs(seq_len, min(32, self.text_enc_dim_head))
+        else:
+            pos = Embedding(self.text_max_seq_len, self.dim)(
+                p["text_abs_pos_emb"], jnp.arange(seq_len)
+            )
+            tokens = tokens + pos[None]
+        return self.text_transformer(
+            p["text_transformer"], tokens, mask=mask, rotary_pos_emb=rot, key=key
+        )
+
+    # ---- shared embed + decode --------------------------------------------
+
+    def _embed_video_tokens(self, p, indices, train=False):
+        b, n = indices.shape
+        ie = Embedding(self.vae.codebook_size, self.dim, self.embed_gradient_frac)
+        emb = ie(p["image_embedding"], indices, train=train)
+        pos = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+            p["video_pos_emb"]
+        )[:n]
+        emb = emb + pos[None]
+        bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+        return jnp.concatenate([bos, emb], axis=1)
+
+    def _embed_audio_tokens(self, p, indices, train=False):
+        b, n = indices.shape
+        ae = Embedding(self.num_audio_tokens, self.dim, self.embed_gradient_frac)
+        emb = ae(p["audio_embedding"], indices, train=train)
+        pos = self._audio_pos_emb(p["audio_pos_emb"])[:n]
+        emb = emb + pos[None]
+        bos = jnp.broadcast_to(p["audio_bos"], (b, 1, self.dim))
+        return jnp.concatenate([bos, emb], axis=1)
+
+    def _decode(
+        self, p, video_inp, audio_inp, text_embeds, text_mask, *, key=None, train=False
+    ):
+        v = self._embed_video_tokens(p, video_inp, train)
+        a = self._embed_audio_tokens(p, audio_inp, train)
+        v, a = self.video_audio_transformer(
+            p["video_audio_transformer"], v, a,
+            context=text_embeds, context_mask=text_mask, key=key,
+        )
+        return jnp.dot(v, p["to_video_logits"]), jnp.dot(a, p["to_audio_logits"])
+
+    # ---- training forward -------------------------------------------------
+
+    def forward(
+        self,
+        p,
+        *,
+        text,
+        video,
+        audio,
+        return_loss=False,
+        cond_dropout_prob=0.2,
+        key=None,
+        train=False,
+    ):
+        b = text.shape[0]
+        text_mask = text != 0
+
+        tkey = dkey = ckey = None
+        if key is not None:
+            tkey, dkey, ckey = jax.random.split(key, 3)
+
+        text_embeds = self.embed_text(p, text, text_mask, key=tkey, train=train)
+
+        if jnp.issubdtype(video.dtype, jnp.integer):
+            frame_indices = video.reshape(b, -1)
+        else:
+            assert video.shape[1] == self.max_video_frames
+            frame_indices = jax.lax.stop_gradient(
+                self.vae.get_video_indices(p["vae"]["params"], p["vae"]["state"], video)
+            ).reshape(b, -1)
+
+        video_inp = frame_indices[:, :-1] if return_loss else frame_indices
+        audio_inp = audio[:, :-1] if return_loss else audio
+
+        if train and cond_dropout_prob > 0 and ckey is not None:
+            uncond = prob_mask_like(ckey, (b,), cond_dropout_prob)
+            text_mask = text_mask & ~uncond[:, None]
+
+        video_logits, audio_logits = self._decode(
+            p, video_inp, audio_inp, text_embeds, text_mask, key=dkey, train=train
+        )
+        if not return_loss:
+            return video_logits, audio_logits
+
+        video_loss = cross_entropy(video_logits, frame_indices)
+        audio_loss = cross_entropy(audio_logits, audio)
+        return video_loss + audio_loss * self.audio_loss_weight
+
+    __call__ = forward
+
+    # ---- sampling ---------------------------------------------------------
+
+    def generate(
+        self,
+        p,
+        *,
+        text,
+        key,
+        filter_thres=0.9,
+        temperature=1.0,
+        cond_scale=2.0,
+        num_frames=None,
+        decode_max_batchsize=10,
+        decode_video=True,
+    ):
+        b = text.shape[0]
+        num_frames = num_frames if num_frames is not None else self.max_video_frames
+        assert num_frames <= self.max_video_frames
+        vtpf = self.num_video_tokens_per_frame
+        atpf = self.num_audio_tokens_per_video_frame
+        total_v = num_frames * vtpf
+        total_a = num_frames * atpf
+        total = total_v + total_a
+
+        # static modality schedule: one video frame's tokens, then one audio
+        # frame's tokens, alternating (reference :2142-2208)
+        sched, vpos, apos = [], [], []
+        vc = ac = 0
+        for _ in range(num_frames):
+            for _ in range(vtpf):
+                sched.append(0)
+                vpos.append(vc)
+                apos.append(ac)
+                vc += 1
+            for _ in range(atpf):
+                sched.append(1)
+                vpos.append(vc)
+                apos.append(ac)
+                ac += 1
+        sched = jnp.asarray(np.array(sched), jnp.int32)
+        vpos = jnp.asarray(np.array(vpos), jnp.int32)
+        apos = jnp.asarray(np.array(apos), jnp.int32)
+
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx2 = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+
+        pad_vocab = max(self.vae.codebook_size, self.num_audio_tokens)
+
+        def step(carry, i):
+            vbuf, abuf, key = carry
+            key, sub = jax.random.split(key)
+            v_inp = vbuf[:, : total_v - 1] if total_v > 1 else vbuf[:, :0]
+            a_inp = abuf[:, : total_a - 1] if total_a > 1 else abuf[:, :0]
+
+            if use_cfg:
+                vl2, al2 = self._decode(
+                    p,
+                    jnp.concatenate([v_inp, v_inp], axis=0),
+                    jnp.concatenate([a_inp, a_inp], axis=0),
+                    ctx2,
+                    cmask2,
+                )
+                vi, ai = vpos[i], apos[i]
+                vrow = jax.lax.dynamic_index_in_dim(vl2, vi, axis=1, keepdims=False)
+                arow = jax.lax.dynamic_index_in_dim(al2, ai, axis=1, keepdims=False)
+                v_logits = vrow[b:] + (vrow[:b] - vrow[b:]) * cond_scale
+                a_logits = arow[b:] + (arow[:b] - arow[b:]) * cond_scale
+            else:
+                vl, al = self._decode(p, v_inp, a_inp, text_embeds, text_mask)
+                v_logits = jax.lax.dynamic_index_in_dim(vl, vpos[i], axis=1, keepdims=False)
+                a_logits = jax.lax.dynamic_index_in_dim(al, apos[i], axis=1, keepdims=False)
+
+            def pad_to(logits, size):
+                return jnp.pad(
+                    logits, ((0, 0), (0, size - logits.shape[-1])),
+                    constant_values=-jnp.inf,
+                )
+
+            is_video = sched[i] == 0
+            logits = jnp.where(
+                is_video, pad_to(v_logits, pad_vocab), pad_to(a_logits, pad_vocab)
+            )
+            filtered = top_k_filter(logits, thres=filter_thres)
+            sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
+
+            # write the sample into the active modality's buffer; the inactive
+            # buffer's slot is rewritten with its own (clamped-read) value —
+            # a no-op. Out-of-bounds scatters (past the final slot) are
+            # dropped by JAX scatter semantics.
+            vbuf = vbuf.at[:, vpos[i]].set(jnp.where(is_video, sample, vbuf[:, vpos[i]]))
+            abuf = abuf.at[:, apos[i]].set(jnp.where(is_video, abuf[:, apos[i]], sample))
+            return (vbuf, abuf, key), None
+
+        vbuf0 = jnp.zeros((b, total_v), jnp.int32)
+        abuf0 = jnp.zeros((b, total_a), jnp.int32)
+        (video_indices, audio_indices, _), _ = jax.lax.scan(
+            step, (vbuf0, abuf0, key), jnp.arange(total)
+        )
+
+        if not decode_video:
+            return video_indices, audio_indices
+        video = self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], video_indices,
+            decode_chunks=decode_max_batchsize,
+        )
+        return video, audio_indices

@@ -84,7 +84,9 @@ class VectorQuantizeEMA(Module):
             "embed": embed,
             "embed_avg": embed.copy(),
             "cluster_size": jnp.zeros((self.codebook_size,)),
-            "initted": jnp.asarray(not self.kmeans_init),
+            # float flag (not bool) so the whole state pytree is grad-safe
+            # when embedded under a model's params (frozen VAE copy)
+            "initted": jnp.asarray(0.0 if self.kmeans_init else 1.0),
         }
 
     # -- helpers -----------------------------------------------------------
@@ -135,10 +137,10 @@ class VectorQuantizeEMA(Module):
                     "embed": means,
                     "embed_avg": means,
                     "cluster_size": jnp.zeros((self.codebook_size,)),
-                    "initted": jnp.asarray(True),
+                    "initted": jnp.asarray(1.0),
                 }
 
-            return jax.lax.cond(state["initted"], lambda _: state, do_init, None)
+            return jax.lax.cond(state["initted"] > 0, lambda _: state, do_init, None)
 
         state = maybe_init(state)
         embed = state["embed"]

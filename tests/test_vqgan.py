@@ -1,0 +1,244 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nuwa_tpu.vq import VectorQuantizeEMA, l2norm
+from nuwa_tpu.vqgan_vae import (
+    Discriminator,
+    VQGanVAE,
+    bce_discr_loss,
+    bce_gen_loss,
+    gradient_penalty,
+    hinge_discr_loss,
+    hinge_gen_loss,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# vector quantizer
+# ---------------------------------------------------------------------------
+
+
+def test_vq_roundtrip_and_state_update():
+    vq = VectorQuantizeEMA(dim=8, codebook_size=16, codebook_dim=4, kmeans_init=False)
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    x = jax.random.normal(KEY, (2, 4, 4, 8))
+    q, idx, commit, s2 = vq(p, s, x, update=True)
+    assert q.shape == x.shape
+    assert idx.shape == (2, 4, 4)
+    assert commit.shape == ()
+    # EMA stats moved
+    assert not np.allclose(np.asarray(s2["cluster_size"]), 0.0)
+    assert not np.allclose(np.asarray(s2["embed"]), np.asarray(s["embed"]))
+
+
+def test_vq_straight_through_gradient():
+    vq = VectorQuantizeEMA(dim=8, codebook_size=16, kmeans_init=False)
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    x = jax.random.normal(KEY, (4, 8))
+
+    def loss(x):
+        q, _, _, _ = vq(p, s, x, update=False)
+        return jnp.sum(q * 3.0)
+
+    g = jax.grad(loss)(x)
+    # straight-through: dq/dx = identity
+    np.testing.assert_allclose(np.asarray(g), 3.0, atol=1e-6)
+
+
+def test_vq_kmeans_init_once():
+    vq = VectorQuantizeEMA(dim=8, codebook_size=4, kmeans_init=True)
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    assert not bool(s["initted"])
+    x = jax.random.normal(KEY, (64, 8))
+    _, _, _, s2 = vq(p, s, x, update=True, rng=jax.random.PRNGKey(1))
+    assert bool(s2["initted"])
+    # after init the codebook should be data-dependent (cosine: normalized)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(s2["embed"]), axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_vq_quantized_is_nearest_code():
+    vq = VectorQuantizeEMA(dim=4, codebook_size=8, kmeans_init=False, cosine_sim=False)
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    x = jax.random.normal(KEY, (10, 4))
+    q, idx, _, _ = vq(p, s, x, update=False)
+    embed = np.asarray(s["embed"])
+    d = ((np.asarray(x)[:, None] - embed[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(-1))
+    np.testing.assert_allclose(np.asarray(q), embed[np.asarray(idx)], atol=1e-6)
+
+
+def test_vq_ema_moves_codes_toward_data():
+    vq = VectorQuantizeEMA(
+        dim=2, codebook_size=2, kmeans_init=False, cosine_sim=False, decay=0.5
+    )
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    # two clear clusters
+    x = jnp.array([[5.0, 5.0], [5.1, 4.9], [-5.0, -5.0], [-4.9, -5.1]])
+    for _ in range(20):
+        _, _, _, s = vq(p, s, x, update=True)
+    embed = np.sort(np.asarray(s["embed"]), axis=0)
+    np.testing.assert_allclose(embed[0], [-4.95, -5.05], atol=0.2)
+    np.testing.assert_allclose(embed[1], [5.05, 4.95], atol=0.2)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def test_gan_losses_signs():
+    fake = jnp.array([0.5])
+    real = jnp.array([0.5])
+    assert hinge_discr_loss(fake, real) == pytest.approx(2.0)
+    assert hinge_gen_loss(jnp.array([2.0])) == -2.0
+    assert float(bce_discr_loss(jnp.zeros(1), jnp.zeros(1))) == pytest.approx(
+        2 * np.log(2), rel=1e-5
+    )
+    assert float(bce_gen_loss(jnp.zeros(1))) == pytest.approx(np.log(2), rel=1e-5)
+
+
+def test_gradient_penalty_zero_for_constant_fn():
+    imgs = jax.random.normal(KEY, (2, 4, 4, 3))
+    gp = gradient_penalty(imgs, lambda x: jnp.sum(x * 0.0, axis=(1, 2, 3)))
+    assert float(gp) == pytest.approx(10.0, rel=1e-4)  # (|0| - 1)^2 * 10
+
+
+# ---------------------------------------------------------------------------
+# VQGanVAE end-to-end
+# ---------------------------------------------------------------------------
+
+
+def tiny_vae(**kw):
+    cfg = dict(
+        dim=16,
+        image_size=16,
+        num_layers=2,
+        vq_codebook_size=32,
+        vq_codebook_dim=8,
+        resnet_groups=4,
+        attn_heads=2,
+        attn_dim_head=8,
+        use_vgg_and_gan=False,
+        vq_kmeans_init=False,
+    )
+    cfg.update(kw)
+    return VQGanVAE(**cfg)
+
+
+def test_vae_recon_roundtrip():
+    vae = tiny_vae()
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (2, 3, 16, 16))
+    recon = vae.forward(p, s, img)
+    assert recon.shape == img.shape
+    loss, s2 = vae.forward(p, s, img, return_loss=True)
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+
+
+def test_vae_encode_decode_api():
+    vae = tiny_vae()
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (2, 3, 16, 16))
+    fmap, indices, commit, s2 = vae.encode(p, s, img)
+    assert vae.fmap_size == 4
+    assert fmap.shape == (2, vae.layer_dims[-1], 4, 4)
+    assert indices.shape == (2, 16)
+    out = vae.decode(p, fmap)
+    assert out.shape == img.shape
+
+
+def test_vae_video_indices_roundtrip():
+    vae = tiny_vae()
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    video = jax.random.uniform(KEY, (2, 3, 3, 16, 16))  # b f c h w
+    idx = vae.get_video_indices(p, s, video)
+    assert idx.shape == (2, 3, 16)
+    assert int(jnp.max(idx)) < vae.codebook_size
+    flat = idx.reshape(2, -1)
+    out = vae.codebook_indices_to_video(p, s, flat)
+    assert out.shape == video.shape
+
+
+def test_vae_gan_losses_and_adaptive_weight():
+    vae = tiny_vae(use_vgg_and_gan=True, perceptual="none")
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (2, 3, 16, 16))
+    loss, s2 = vae.forward(p, s, img, return_loss=True)
+    assert np.isfinite(float(loss))
+    dloss = vae.forward(p, s, img, return_discr_loss=True)
+    assert np.isfinite(float(dloss))
+    dloss_gp = vae.forward(p, s, img, return_discr_loss=True, apply_grad_penalty=True)
+    assert float(dloss_gp) > float(dloss) - 1e-6
+
+
+def test_vae_gan_gradients_flow():
+    vae = tiny_vae(use_vgg_and_gan=True, perceptual="none")
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (1, 3, 16, 16))
+
+    def gen_loss(p):
+        loss, _ = vae.forward(p, s, img, return_loss=True)
+        return loss
+
+    g = jax.grad(gen_loss)(p)
+    g_enc = jax.tree.leaves(g["enc"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in g_enc)
+
+    def discr_loss(p):
+        return vae.forward(p, s, img, return_discr_loss=True, apply_grad_penalty=True)
+
+    gd = jax.grad(discr_loss)(p)
+    gd_discr = jax.tree.leaves(gd["discr"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in gd_discr)
+    # discriminator loss must NOT update the generator (recon detached)
+    g_dec = jax.tree.leaves(gd["dec"])
+    assert all(float(jnp.abs(x).sum()) == 0 for x in g_dec)
+
+
+def test_vae_grayscale_channels():
+    vae = tiny_vae(channels=1)
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (1, 1, 16, 16))
+    loss, _ = vae.forward(p, s, img, return_loss=True)
+    assert np.isfinite(float(loss))
+
+
+def test_vae_with_attn_layers():
+    vae = tiny_vae(use_attn=(False, True), num_resnet_blocks=(0, 1))
+    p = vae.init(KEY)
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (1, 3, 16, 16))
+    assert vae.forward(p, s, img).shape == img.shape
+
+
+def test_eval_params_strips_gan():
+    vae = tiny_vae(use_vgg_and_gan=True, perceptual="none")
+    p = vae.init(KEY)
+    pe = vae.eval_params(p)
+    assert "discr" not in pe and "enc" in pe and "dec" in pe
+
+
+def test_discriminator_output_map():
+    d = Discriminator(dims=(8, 16), channels=3, groups=4)
+    p = d.init(KEY)
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    out = d(p, x)
+    assert out.shape[0] == 2 and out.shape[-1] == 1
