@@ -273,11 +273,17 @@ class Sparse3DNA(Module):
 
         rel_bias = self._rel_bias(p)
 
-        if self.use_pallas:
+        pallas_ok = self.use_pallas and tokens_per_frame <= 256 and key is None
+        if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas
 
+            q_pad = (
+                jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
+                if t < num_frames * tokens_per_frame
+                else q
+            )
             out = sparse_3dna_pallas(
-                self, q, k, v, k_bos, v_bos, num_frames, t, rel_bias
+                self, p, q_pad, k, v, k_bos, v_bos, num_frames, t
             )
         else:
             chunk_frames = self.query_num_frames_chunk

@@ -1,0 +1,17 @@
+from .mesh import data_sharding, make_mesh, replicated
+from .sharding import (
+    make_param_specs,
+    partition_spec_for,
+    shard_params,
+    sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "make_param_specs",
+    "partition_spec_for",
+    "shard_params",
+    "sharded_train_step",
+]

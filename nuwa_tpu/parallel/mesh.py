@@ -1,0 +1,37 @@
+"""Device-mesh construction for SPMD training/serving.
+
+The reference is single-device (SURVEY §2.8: no torch.distributed anywhere);
+here parallelism is first-class: a ``jax.sharding.Mesh`` over ('data',
+'model') axes, with XLA inserting the collectives (psum over ICI for DP
+gradients, all-gather/reduce-scatter for TP) from sharding annotations.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. ``data=-1`` consumes the remainder."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    spec = PartitionSpec("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

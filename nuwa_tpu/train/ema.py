@@ -9,7 +9,9 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(jnp.asarray, params)
+    # true copies (not aliases) so train-state donation never sees the same
+    # buffer twice
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_update(ema_params, params, step, *, beta=0.995, update_after_step=2000,

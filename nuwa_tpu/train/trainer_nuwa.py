@@ -155,6 +155,9 @@ class NUWATrainer:
         video = self.nuwa.generate(
             self.state["params"], text=text, key=skey, num_frames=num_frames
         )
+        if video.ndim == 2:  # no VAE attached: raw codebook indices
+            logs["sampled_indices"] = np.asarray(video[0])
+            return
         one_video = np.asarray(video[0]).clip(0.0, 1.0)  # (f, c, h, w)
 
         if self.tokenizer is not None:

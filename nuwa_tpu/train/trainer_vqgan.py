@@ -119,7 +119,7 @@ class VQGanVAETrainer:
         key = jax.random.PRNGKey(seed)
         pkey, skey, self._key = jax.random.split(key, 3)
         params = vae.init(pkey)
-        vq_state = vae.init_state(skey)
+        vq_state = vae.init_state(skey)["vq"]  # bare codebook state
         gen_params, discr_params = _split_params(params)
 
         self.gen_tx = get_optimizer(lr=lr, wd=wd, params=gen_params, frozen_keys=())

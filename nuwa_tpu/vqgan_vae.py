@@ -351,6 +351,12 @@ class VQGanVAE(Module):
             orthogonal_reg_weight=self.vq_orthogonal_reg_weight,
         )
 
+    @property
+    def discriminator(self):
+        return Discriminator(
+            dims=self.dims, channels=self.channels, groups=self.resnet_groups
+        )
+
     def _attn(self, dim):
         return VQGanAttention(
             dim=dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
@@ -387,7 +393,7 @@ class VQGanVAE(Module):
 
         p = {"enc": enc, "dec": dec, "vq": self.vq.init(next(ks))}
         if include_gan and self.use_vgg_and_gan:
-            p["discr"] = Discriminator(dims=dims, channels=self.channels).init(next(ks))
+            p["discr"] = self.discriminator.init(next(ks))
             if self.perceptual == "vgg":
                 from .perceptual import VGG16Features
 
@@ -563,7 +569,7 @@ class VQGanVAE(Module):
 
         if return_discr_loss:
             assert "discr" in p, "discriminator must exist to train it"
-            discr = Discriminator(dims=self.dims, channels=self.channels)
+            discr = self.discriminator
             fake = jax.lax.stop_gradient(recon_nhwc)
             fake_logits = discr(p["discr"], fake)
             real_logits = discr(p["discr"], x)
@@ -586,7 +592,7 @@ class VQGanVAE(Module):
 
         perceptual_loss = self._perceptual_loss(p, x, recon_nhwc)
 
-        discr = Discriminator(dims=self.dims, channels=self.channels)
+        discr = self.discriminator
         gen_loss_fn = hinge_gen_loss if self.use_hinge_loss else bce_gen_loss
         gen_loss = gen_loss_fn(discr(p["discr"], recon_nhwc))
 

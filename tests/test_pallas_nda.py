@@ -1,0 +1,72 @@
+"""Pallas 3DNA kernel vs the tested XLA gather path (interpret mode on CPU).
+
+The XLA path is itself verified against brute-force oracles in test_nda.py,
+so interpret-mode equality here transitively validates the kernel's math
+(masking, dilation, bos column, talking heads, axial rel-pos bias, ragged
+tails). Compiled-mode equality runs on real TPU via bench/verify scripts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from nuwa_tpu.nda import Sparse3DNA
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _compare(mod_xla, x, atol=2e-2):
+    mod_pl = mod_xla.replace(use_pallas=True)
+    p = mod_xla.init(KEY)
+    ref = np.asarray(mod_xla(p, x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod_pl(p, x))
+    # bf16 probability cache in the kernel -> slightly looser tolerance
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=2e-2)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_pallas_3dna_causal(dilation):
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=dilation,
+        heads=2, dim_head=8, causal=True,
+    )
+    x = jax.random.normal(KEY, (2, 1 + 12, 16))
+    _compare(mod, x)
+
+
+def test_pallas_3dna_centered():
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=False,
+    )
+    x = jax.random.normal(KEY, (1, 13, 16))
+    _compare(mod, x)
+
+
+def test_pallas_3dna_rel_pos_bias():
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    x = jax.random.normal(KEY, (1, 9, 16))
+    _compare(mod, x)
+
+
+def test_pallas_3dna_partial_frame():
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True,
+    )
+    x = jax.random.normal(KEY, (1, 1 + 6, 16))  # ragged tail
+    _compare(mod, x)
+
+
+def test_pallas_3dna_larger_grid():
+    mod = Sparse3DNA(
+        dim=32, video_shape=(4, 4, 4), kernel_size=(3, 3, 3), dilation=(2, 1, 1),
+        heads=4, dim_head=8, causal=True,
+    )
+    x = jax.random.normal(KEY, (1, 1 + 64, 32))
+    _compare(mod, x)

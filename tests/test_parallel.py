@@ -1,0 +1,132 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: DP/TP sharding of the
+NUWA train step, VQ EMA under sharded batches, and sharding-rule sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nuwa_tpu.models import NUWA
+from nuwa_tpu.parallel import (
+    data_sharding,
+    make_mesh,
+    make_param_specs,
+    shard_params,
+)
+from nuwa_tpu.train.optimizer import get_optimizer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_model():
+    return NUWA(
+        dim=16,
+        image_size=2,
+        num_image_tokens=16,
+        max_video_frames=2,
+        text_num_tokens=32,
+        text_enc_depth=1,
+        text_enc_dim_head=8,
+        text_enc_heads=2,
+        dec_depth=1,
+        dec_dim_head=8,
+        dec_heads=2,
+        shift_video_tokens=False,
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_param_specs_rules():
+    model = tiny_model()
+    params = model.init(KEY)
+    specs = make_param_specs(params)
+    # find an attention to_q spec: column parallel
+    layer0 = specs["video_transformer"]["layers"][0]
+    flat, _ = jax.tree_util.tree_flatten_with_path(specs)
+    found_col = found_row = False
+    for path, spec in flat:
+        s = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if "to_q/w" in s:
+            assert spec == P(None, "model"), s
+            found_col = True
+        if "to_out/w" in s:
+            assert spec == P("model", None), s
+            found_row = True
+    assert found_col and found_row
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 2)])
+def test_sharded_train_step_matches_single_device(mesh_shape):
+    """The pjit'd DP/TP step must produce the same loss/params as one device."""
+    data, model_ax = mesh_shape
+    devices = jax.devices()[: data * model_ax]
+    mesh = make_mesh(data=data, model=model_ax, devices=devices)
+
+    model = tiny_model()
+    params = model.init(KEY)
+    tx = get_optimizer(lr=1e-3, wd=0.01, params=params)
+    opt0 = tx.init(params)
+
+    text = jax.random.randint(KEY, (8, 4), 1, 32)
+    video = jax.random.randint(jax.random.PRNGKey(1), (8, 8), 0, 16)
+
+    def loss_fn(p, text, video):
+        return model.forward(p, text=text, video=video, return_loss=True)
+
+    def step(p, opt, text, video):
+        loss, grads = jax.value_and_grad(loss_fn)(p, text, video)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    # single-device reference
+    p1, _, loss1 = jax.jit(step)(params, opt0, text, video)
+
+    # sharded
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        sp = shard_params(params, mesh)
+        sopt = tx.init(sp)
+        stext = jax.device_put(text, data_sharding(mesh, 2))
+        svideo = jax.device_put(video, data_sharding(mesh, 2))
+        p2, _, loss2 = jax.jit(step)(sp, sopt, stext, svideo)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        )
+
+
+def test_vq_ema_global_under_sharding():
+    """VQ EMA statistics must be computed over the *global* batch under SPMD."""
+    from nuwa_tpu.vq import VectorQuantizeEMA
+
+    mesh = make_mesh(data=8, model=1)
+    vq = VectorQuantizeEMA(dim=4, codebook_size=8, kmeans_init=False, cosine_sim=False)
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    x = jax.random.normal(KEY, (16, 4))
+
+    def run(s, x):
+        _, _, _, s2 = vq(p, s, x, update=True)
+        return s2
+
+    s_single = jax.jit(run)(s, x)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    s_sharded = jax.jit(run)(s, xs)
+    for a, b in zip(jax.tree.leaves(s_single), jax.tree.leaves(s_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_generate_under_mesh():
+    """AR decode must run with sharded params (serving path)."""
+    mesh = make_mesh(data=1, model=8)
+    model = tiny_model()
+    params = model.init(KEY)
+    sp = shard_params(params, mesh)
+    text = jnp.array([[1, 2, 3, 0]])
+    idx = model.generate(sp, text=text, key=KEY, decode_video=False, cond_scale=1.0)
+    assert idx.shape == (1, 8)
