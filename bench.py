@@ -16,8 +16,9 @@ import numpy as np
 
 
 def _sync(x):
-    jax.block_until_ready(x)
-    return x
+    """Force completion: the axon tunnel's block_until_ready does not block,
+    so computations reduce to a scalar in-graph and we read that back."""
+    return float(np.asarray(x))
 
 
 def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
@@ -47,8 +48,8 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
     total_tokens = frames * model.tokens_per_frame
 
     gen = jax.jit(
-        lambda p, text, key: model.generate(
-            p, text=text, key=key, decode_video=False, cond_scale=2.0
+        lambda p, text, key: jnp.sum(
+            model.generate(p, text=text, key=key, decode_video=False, cond_scale=2.0)
         )
     )
     # compile
@@ -93,7 +94,7 @@ def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=16, seed=0):
         fmap, indices, _, _ = vae.encode(p, s, img)
         codes = jnp.take(vae.codebook(p, s), indices, axis=0)
         codes = codes.reshape(batch, vae.fmap_size, vae.fmap_size, -1)
-        return vae.decode(p, jnp.transpose(codes, (0, 3, 1, 2)))
+        return jnp.sum(vae.decode(p, jnp.transpose(codes, (0, 3, 1, 2))))
 
     fn = jax.jit(roundtrip)
     _sync(fn(p, s, img))
