@@ -47,11 +47,17 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
     text = jnp.ones((batch, text_len), jnp.int32)
     total_tokens = frames * model.tokens_per_frame
 
-    gen = jax.jit(
-        lambda p, text, key: jnp.sum(
-            model.generate(p, text=text, key=key, decode_video=False, cond_scale=2.0)
+    def make_gen(method):
+        return jax.jit(
+            lambda p, text, key: jnp.sum(
+                model.generate(
+                    p, text=text, key=key, decode_video=False, cond_scale=2.0,
+                    method=method,
+                )
+            )
         )
-    )
+
+    gen = make_gen("cached")
     # compile
     _sync(gen(params, text, jax.random.PRNGKey(0)))
     # timed runs
@@ -87,7 +93,7 @@ def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=16, seed=0):
     s = vae.init_state(jax.random.PRNGKey(seed + 1))
     img = jnp.asarray(
         np.random.default_rng(0).uniform(size=(batch, 3, image_size, image_size)),
-        jnp.float32,
+        jnp.bfloat16,  # bf16 conv compute (params cast per-op; norms stay fp32)
     )
 
     def roundtrip(p, s, img):

@@ -358,17 +358,44 @@ class _SandwichStep:
 class TransformerDecoder:
     """Incremental decoder for a (Reversible)Transformer layer menu.
 
-    ``total_in`` — decoder input length (1 + total video tokens). For
-    reversible stacks the same couples run as two-stream updates.
+    ``total_in`` — decoder input length (1 + total video tokens). Reversible
+    stacks run the same couples as two-stream updates (x1 += f(x2);
+    x2 += g(x1)) — reversibility itself is a training-memory device and is
+    irrelevant at inference.
     """
 
     def __init__(self, transformer: Transformer, total_in: int):
         self.t = transformer
         self.total_in = total_in
-        self.steps = []
-        for kind, module in transformer.layer_menu:
-            self.steps.append((kind, self._build(module)))
+        menu = transformer.layer_menu
+        self.steps = [(kind, self._build(module)) for kind, module in menu]
         self.reversible = transformer.__class__.__name__.startswith("Reversible")
+
+        if not self.reversible:
+            self.plan = [("plain", i, i) for i in range(len(menu))]
+        else:
+            # mirror ReversibleTransformer._couples: couple c pairs the menu's
+            # self-attn with its trailing ff, and cross-attn with ff_cross
+            plan = []
+            c = 0
+            i = 0
+            while i < len(menu):
+                kind = menu[i][0]
+                if kind == "self":
+                    ff_idx = next(
+                        j for j in range(i + 1, len(menu)) if menu[j][0] == "ff"
+                    )
+                    plan.append(("couple", c, i, ff_idx))
+                    c += 1
+                    i += 1
+                elif kind == "cross":
+                    assert menu[i + 1][0] == "ff_cross"
+                    plan.append(("couple", c, i, i + 1))
+                    c += 1
+                    i += 2
+                else:
+                    i += 1
+            self.plan = plan
 
     def _build(self, sandwich: Sandwich):
         inner = sandwich.inner
@@ -394,9 +421,22 @@ class TransformerDecoder:
             step = _ShiftVideoStep(wrapper, step, self.total_in, self.t.dim)
         return _SandwichStep(sandwich, step)
 
+    def _layer_params(self, p, menu_idx):
+        """Sandwich params for menu entry ``menu_idx``."""
+        if not self.reversible:
+            return p["layers"][menu_idx]
+        for item in self.plan:
+            _, c, f_idx, g_idx = item
+            if menu_idx == f_idx:
+                return p["layers"][c]["f"]
+            if menu_idx == g_idx:
+                return p["layers"][c]["g"]
+        raise KeyError(menu_idx)
+
     def init_cache(self, p, b, context, context_mask, dtype=jnp.float32):
         caches = []
-        for (kind, step), lp in zip(self.steps, p["layers"]):
+        for idx, (kind, step) in enumerate(self.steps):
+            lp = self._layer_params(p, idx)
             c = {}
             inner = step.inner
             if isinstance(inner, _ShiftVideoStep):
@@ -405,7 +445,7 @@ class TransformerDecoder:
             if isinstance(inner, (_DenseSelfStep, _Sparse3DNAStep)):
                 c.update(inner.init_cache(b, dtype))
             elif isinstance(inner, (_CrossAttnStep, _SparseCross2DNAStep)):
-                c.update(inner.init_cache(lp["inner"] if not isinstance(step.inner, _ShiftVideoStep) else lp["inner"], context, context_mask))
+                c.update(inner.init_cache(lp["inner"], context, context_mask))
             caches.append(c)
         return caches
 
@@ -415,42 +455,22 @@ class TransformerDecoder:
 
         new_caches = list(caches)
         if not self.reversible:
-            for idx, ((kind, step), lp) in enumerate(zip(self.steps, p["layers"])):
+            for idx, (kind, step) in enumerate(self.steps):
+                lp = self._layer_params(p, idx)
                 out, new_caches[idx] = step(lp, caches[idx], x_i, pos)
                 x_i = x_i + out
         else:
             x1 = x2 = x_i
-            i = 0
-            steps = self.steps
-            # reversible pairing mirrors ReversibleTransformer._couples
-            layer_param_idx = 0
-            while i < len(steps):
-                kind, step = steps[i]
-                if kind == "self":
-                    ff_entry = next(
-                        (j for j in range(i + 1, len(steps)) if steps[j][0] == "ff")
-                    )
-                    lp = p["layers"][layer_param_idx]
-                    out, new_caches[i] = step(lp["f"], caches[i], x2, pos)
-                    x1 = x1 + out
-                    out, new_caches[ff_entry] = steps[ff_entry][1](
-                        lp["g"], caches[ff_entry], x1, pos
-                    )
-                    x2 = x2 + out
-                    layer_param_idx += 1
-                    i += 1
-                elif kind == "cross":
-                    lp = p["layers"][layer_param_idx]
-                    out, new_caches[i] = step(lp["f"], caches[i], x2, pos)
-                    x1 = x1 + out
-                    ffc = steps[i + 1]
-                    assert ffc[0] == "ff_cross"
-                    out, new_caches[i + 1] = ffc[1](lp["g"], caches[i + 1], x1, pos)
-                    x2 = x2 + out
-                    layer_param_idx += 1
-                    i += 2
-                else:
-                    i += 1
+            for _, c, f_idx, g_idx in self.plan:
+                lp = p["layers"][c]
+                out, new_caches[f_idx] = self.steps[f_idx][1](
+                    lp["f"], new_caches[f_idx], x2, pos
+                )
+                x1 = x1 + out
+                out, new_caches[g_idx] = self.steps[g_idx][1](
+                    lp["g"], new_caches[g_idx], x1, pos
+                )
+                x2 = x2 + out
             x_i = (x1 + x2) * 0.5
 
         norm = StableLayerNorm(self.t.dim)

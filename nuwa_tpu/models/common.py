@@ -15,6 +15,52 @@ import jax.numpy as jnp
 from ..ops.sampling import gumbel_sample, top_k_filter
 
 
+def cached_ar_rollout(
+    *,
+    dec,
+    p_transformer,
+    caches,
+    embed_table,
+    pos_emb,
+    bos_vec,
+    to_logits,
+    batch,
+    total,
+    key,
+    filter_thres,
+    temperature,
+    cond_scale,
+    dim,
+):
+    """Shared cached AR rollout: one lax.scan over positions with per-layer
+    caches (see nuwa_tpu.decode). CFG runs cond+uncond as a 2×batch stream
+    whose caches were built with [mask; zeros]."""
+    use_cfg = cond_scale != 1
+
+    def step(carry, i):
+        caches, prev_tok, key = carry
+        key, sub = jax.random.split(key)
+        tok_emb = jnp.take(embed_table, prev_tok, axis=0) + jax.lax.dynamic_index_in_dim(
+            pos_emb, jnp.maximum(i - 1, 0), 0, keepdims=False
+        )
+        bos = jnp.broadcast_to(bos_vec, (batch, dim))
+        x_i = jnp.where(i == 0, bos, tok_emb)
+        if use_cfg:
+            x_i = jnp.concatenate([x_i, x_i], axis=0)
+        y, caches = dec.step(p_transformer, caches, x_i, i)
+        logits = jnp.dot(y, to_logits)
+        if use_cfg:
+            cond, uncond = logits[:batch], logits[batch:]
+            logits = uncond + (cond - uncond) * cond_scale
+        filtered = top_k_filter(logits, thres=filter_thres)
+        sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
+        return (caches, sample, key), sample
+
+    init_tok = jnp.zeros((batch,), jnp.int32)
+    (_, _, _), samples = jax.lax.scan(step, (caches, init_tok, key), jnp.arange(total))
+    return samples.T  # (b, total)
+
+
 def ar_decode_loop(
     *,
     key,

@@ -24,7 +24,7 @@ from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
 from ..ops.sampling import prob_mask_like
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
-from .common import ar_decode_loop
+from .common import ar_decode_loop, cached_ar_rollout
 
 
 def cross_entropy(logits, targets):
@@ -282,10 +282,15 @@ class NUWA(Module):
         num_frames=None,
         decode_max_batchsize=10,
         decode_video=True,
+        method="cached",
     ):
-        """AR sampling, fully on-device (`lax.scan`). Supports
-        num_frames <= max_video_frames (the reference's sliding-window path
-        for longer rollouts lives in ``generate_long``)."""
+        """AR sampling, fully on-device (`lax.scan`).
+
+        ``method="cached"`` uses per-layer KV/neighborhood/shift caches —
+        O(depth·Kn) per token (nuwa_tpu.decode); ``method="full"`` re-runs the
+        whole decoder per token (the reference's pattern, used as the oracle).
+        Supports num_frames <= max_video_frames.
+        """
         b = text.shape[0]
         num_frames = num_frames if num_frames is not None else self.max_video_frames
         assert num_frames <= self.max_video_frames
@@ -293,6 +298,18 @@ class NUWA(Module):
 
         text_mask = text != 0
         text_embeds = self.embed_text(p, text, text_mask)
+
+        if method == "cached":
+            indices = self._generate_cached(
+                p, text_embeds, text_mask, b, total, key,
+                filter_thres, temperature, cond_scale,
+            )
+            if not decode_video or self.vae is None:
+                return indices
+            return self.vae.codebook_indices_to_video(
+                p["vae"]["params"], p["vae"]["state"], indices,
+                decode_chunks=decode_max_batchsize,
+            )
 
         use_cfg = cond_scale != 1
         if use_cfg:
@@ -328,4 +345,39 @@ class NUWA(Module):
         return self.vae.codebook_indices_to_video(
             p["vae"]["params"], p["vae"]["state"], indices,
             decode_chunks=decode_max_batchsize,
+        )
+
+    # ---- cached incremental decoding --------------------------------------
+
+    def _generate_cached(
+        self, p, text_embeds, text_mask, b, total, key,
+        filter_thres, temperature, cond_scale,
+    ):
+        from ..decode import TransformerDecoder
+
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+            eb = 2 * b
+        else:
+            ctx, cmask, eb = text_embeds, text_mask, b
+
+        dec = TransformerDecoder(self.video_transformer, total_in=total)
+        caches = dec.init_cache(p["video_transformer"], eb, ctx, cmask)
+        return cached_ar_rollout(
+            dec=dec,
+            p_transformer=p["video_transformer"],
+            caches=caches,
+            embed_table=p["image_embedding"]["table"],
+            pos_emb=self._video_pos_emb(p["video_pos_emb"]),
+            bos_vec=p["video_bos"],
+            to_logits=p["to_logits"],
+            batch=b,
+            total=total,
+            key=key,
+            filter_thres=filter_thres,
+            temperature=temperature,
+            cond_scale=cond_scale,
+            dim=self.dim,
         )

@@ -270,6 +270,7 @@ class NUWASketch(Module):
         num_frames=None,
         decode_max_batchsize=10,
         decode_video=True,
+        method="cached",
     ):
         if sketch.ndim == 4:
             sketch = sketch[:, None]
@@ -279,6 +280,46 @@ class NUWASketch(Module):
         total = num_frames * self.tokens_per_frame
 
         sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
+
+        if method == "cached":
+            from ..decode import TransformerDecoder
+            from .common import cached_ar_rollout
+
+            use_cfg = cond_scale != 1
+            if use_cfg:
+                ctx = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
+                cmask = jnp.concatenate(
+                    [context_mask, jnp.zeros_like(context_mask)], axis=0
+                )
+                eb = 2 * b
+            else:
+                ctx, cmask, eb = sketch_embeds, context_mask, b
+            dec = TransformerDecoder(self.video_transformer, total_in=total)
+            caches = dec.init_cache(p["video_transformer"], eb, ctx, cmask)
+            indices = cached_ar_rollout(
+                dec=dec,
+                p_transformer=p["video_transformer"],
+                caches=caches,
+                embed_table=p["image_embedding"]["table"],
+                pos_emb=AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+                    p["video_pos_emb"]
+                ),
+                bos_vec=p["video_bos"],
+                to_logits=p["to_logits"],
+                batch=b,
+                total=total,
+                key=key,
+                filter_thres=filter_thres,
+                temperature=temperature,
+                cond_scale=cond_scale,
+                dim=self.dim,
+            )
+            if not decode_video:
+                return indices
+            return self.vae.codebook_indices_to_video(
+                p["vae"]["params"], p["vae"]["state"], indices,
+                decode_chunks=decode_max_batchsize,
+            )
 
         use_cfg = cond_scale != 1
         if use_cfg:
