@@ -457,6 +457,16 @@ class VQGanVAE(Module):
     # ---- public API (channels-first at the boundary) ----------------------
 
     @staticmethod
+    def _norm_state(state):
+        """Accept either the wrapped {"vq": codebook_state} form (init_state)
+        or the bare codebook state dict (has an "embed" leaf) — both appear
+        at trainer/model seams."""
+        if "vq" in state:
+            return state
+        assert "embed" in state, "not a VQ state pytree"
+        return {"vq": state}
+
+    @staticmethod
     def _to_nhwc(img):
         return jnp.transpose(img, (0, 2, 3, 1))
 
@@ -466,6 +476,7 @@ class VQGanVAE(Module):
 
     def encode(self, p, state, img, *, update_vq=False, rng=None, axis_name=None):
         """img: (b, c, h, w) -> (fmap (b,c',h',w'), indices (b,h'w'), commit, state)."""
+        state = self._norm_state(state)
         x = self._encode_fmap(p, self._to_nhwc(img))
         quant, indices, commit, vq_state = self.vq(
             p["vq"], state["vq"], x, update=update_vq, rng=rng, axis_name=axis_name
@@ -483,7 +494,7 @@ class VQGanVAE(Module):
         return self._to_nchw(self._decode_fmap(p, self._to_nhwc(fmap)))
 
     def codebook(self, p, state):
-        return self.vq.codebook(p["vq"], state["vq"])
+        return self.vq.codebook(p["vq"], self._norm_state(state)["vq"])
 
     def get_video_indices(self, p, state, video):
         """video: (b, f, c, h, w) -> (b, f, fmap*fmap) codebook indices."""
@@ -549,6 +560,7 @@ class VQGanVAE(Module):
         assert img.shape[-1] == self.image_size and img.shape[-2] == self.image_size
         assert img.shape[1] == self.channels
         update_vq = return_loss if update_vq is None else update_vq
+        state = self._norm_state(state)
 
         x = self._to_nhwc(img)
         fmap_enc = self._encode_fmap(p, x)
