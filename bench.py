@@ -75,7 +75,7 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
     }
 
 
-def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=16, seed=0):
+def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=32, seed=0):
     """Frames/sec for VQ-VAE encode+decode at 256px."""
     from nuwa_tpu.vqgan_vae import VQGanVAE
 
@@ -100,6 +100,7 @@ def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=16, seed=0):
         fmap, indices, _, _ = vae.encode(p, s, img)
         codes = jnp.take(vae.codebook(p, s), indices, axis=0)
         codes = codes.reshape(batch, vae.fmap_size, vae.fmap_size, -1)
+        codes = codes.astype(jnp.bfloat16)  # keep the decoder in bf16
         return jnp.sum(vae.decode(p, jnp.transpose(codes, (0, 3, 1, 2))))
 
     fn = jax.jit(roundtrip)

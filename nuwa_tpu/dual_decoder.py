@@ -175,9 +175,9 @@ class DualModalityDecoder(Module):
                         "xmod",
                         (
                             self._sand_xmod(v2a),
-                            self._sand(self._audio_ff()),  # audio-stream ff (g)
-                            self._sand_xmod(a2v),
-                            self._sand(self._video_ff()),  # video-stream ff (k)
+                            self._sand(self._ff()),  # audio-stream ff (g) —
+                            self._sand_xmod(a2v),    # xmod FFs are unwrapped
+                            self._sand(self._ff()),  # (reference :1408,:1607)
                         ),
                         None,
                     )

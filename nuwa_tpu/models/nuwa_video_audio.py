@@ -263,6 +263,127 @@ class NUWAVideoAudio(Module):
 
     __call__ = forward
 
+    # ---- cached sampling --------------------------------------------------
+
+    def _generate_cached(
+        self, p, text, b, num_frames, total_v, total_a, key,
+        filter_thres, temperature, cond_scale,
+    ):
+        """Cached dual-tower rollout: one lax.scan over the modality schedule.
+
+        The audio tower steps one input position ahead of audio sampling (its
+        logits are carried as ``pending``) so video chunk n always finds the
+        audio stream buffered through position n*atpf — see
+        tests/test_decode_dual.interleaved_positions for the invariant.
+        """
+        from ..decode_dual import DualDecoderCache
+        from ..ops.sampling import gumbel_sample, top_k_filter
+
+        vtpf = self.num_video_tokens_per_frame
+        atpf = self.num_audio_tokens_per_video_frame
+        total = total_v + total_a
+
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+            eb = 2 * b
+        else:
+            ctx, cmask, eb = text_embeds, text_mask, b
+
+        ptr = p["video_audio_transformer"]
+        # +1 audio slot so the final peek-step lands in an unused position
+        dec = DualDecoderCache(
+            self.video_audio_transformer, total_v_in=total_v, total_a_in=total_a + 1
+        )
+        caches = dec.init_cache(ptr, eb, ctx, cmask)
+
+        vpos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+            p["video_pos_emb"]
+        )
+        apos_emb = self._audio_pos_emb(p["audio_pos_emb"])
+        vtable = p["image_embedding"]["table"]
+        atable = p["audio_embedding"]["table"]
+
+        def widen(x):
+            return jnp.concatenate([x, x], axis=0) if use_cfg else x
+
+        def cfg_mix(logits):
+            if not use_cfg:
+                return logits
+            cond, uncond = logits[:b], logits[b:]
+            return uncond + (cond - uncond) * cond_scale
+
+        def audio_input(pos, prev_tok):
+            """Audio-tower input at position ``pos`` (embedding of prev_tok)."""
+            bos = jnp.broadcast_to(p["audio_bos"], (b, self.dim))
+            emb = jnp.take(atable, prev_tok, axis=0) + jax.lax.dynamic_index_in_dim(
+                apos_emb, jnp.maximum(pos - 1, 0), 0, keepdims=False
+            )
+            return widen(jnp.where(pos == 0, bos, emb))
+
+        # prime the audio tower with its bos (position 0)
+        y0, caches = dec.step_audio(ptr, caches, audio_input(0, jnp.zeros((b,), jnp.int32)), jnp.asarray(0))
+        pending0 = cfg_mix(jnp.dot(y0, p["to_audio_logits"]))
+
+        # static schedule over token steps
+        sched, vps, aps = [], [], []
+        vc = ac = 0
+        for _ in range(num_frames):
+            for _ in range(vtpf):
+                sched.append(0); vps.append(vc); aps.append(ac); vc += 1
+            for _ in range(atpf):
+                sched.append(1); vps.append(vc); aps.append(ac); ac += 1
+        sched = jnp.asarray(np.array(sched), jnp.int32)
+        vps = jnp.asarray(np.array(vps), jnp.int32)
+        aps = jnp.asarray(np.array(aps), jnp.int32)
+
+        def video_branch(args):
+            caches, pending, prev_v, vbuf, abuf, i, sub = args
+            vp = vps[i]
+            bos = jnp.broadcast_to(p["video_bos"], (b, self.dim))
+            emb = jnp.take(vtable, prev_v, axis=0) + jax.lax.dynamic_index_in_dim(
+                vpos_emb, jnp.maximum(vp - 1, 0), 0, keepdims=False
+            )
+            x_i = widen(jnp.where(vp == 0, bos, emb))
+            y, caches = dec.step_video(ptr, caches, x_i, vp)
+            logits = cfg_mix(jnp.dot(y, p["to_video_logits"]))
+            filtered = top_k_filter(logits, thres=filter_thres)
+            sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
+            vbuf = vbuf.at[:, vp].set(sample)
+            return caches, pending, sample, vbuf, abuf
+
+        def audio_branch(args):
+            caches, pending, prev_v, vbuf, abuf, i, sub = args
+            ap = aps[i]
+            filtered = top_k_filter(pending, thres=filter_thres)
+            sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
+            abuf = abuf.at[:, ap].set(sample)
+            # peek-step the next audio input position (embedding of `sample`)
+            y, caches = dec.step_audio(ptr, caches, audio_input(ap + 1, sample), ap + 1)
+            pending = cfg_mix(jnp.dot(y, p["to_audio_logits"]))
+            return caches, pending, prev_v, vbuf, abuf
+
+        def step(carry, i):
+            caches, pending, prev_v, vbuf, abuf, key = carry
+            key, sub = jax.random.split(key)
+            args = (caches, pending, prev_v, vbuf, abuf, i, sub)
+            caches, pending, prev_v, vbuf, abuf = jax.lax.cond(
+                sched[i] == 0, video_branch, audio_branch, args
+            )
+            return (caches, pending, prev_v, vbuf, abuf, key), None
+
+        vbuf0 = jnp.zeros((b, total_v), jnp.int32)
+        abuf0 = jnp.zeros((b, total_a), jnp.int32)
+        prev0 = jnp.zeros((b,), jnp.int32)
+        (caches, _, _, vbuf, abuf, _), _ = jax.lax.scan(
+            step, (caches, pending0, prev0, vbuf0, abuf0, key), jnp.arange(total)
+        )
+        return vbuf, abuf
+
     # ---- sampling ---------------------------------------------------------
 
     def generate(
@@ -277,6 +398,7 @@ class NUWAVideoAudio(Module):
         num_frames=None,
         decode_max_batchsize=10,
         decode_video=True,
+        method="cached",
     ):
         b = text.shape[0]
         num_frames = num_frames if num_frames is not None else self.max_video_frames
@@ -286,6 +408,19 @@ class NUWAVideoAudio(Module):
         total_v = num_frames * vtpf
         total_a = num_frames * atpf
         total = total_v + total_a
+
+        if method == "cached":
+            video_indices, audio_indices = self._generate_cached(
+                p, text, b, num_frames, total_v, total_a, key,
+                filter_thres, temperature, cond_scale,
+            )
+            if not decode_video:
+                return video_indices, audio_indices
+            video = self.vae.codebook_indices_to_video(
+                p["vae"]["params"], p["vae"]["state"], video_indices,
+                decode_chunks=decode_max_batchsize,
+            )
+            return video, audio_indices
 
         # static modality schedule: one video frame's tokens, then one audio
         # frame's tokens, alternating (reference :2142-2208)
