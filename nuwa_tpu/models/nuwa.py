@@ -347,6 +347,98 @@ class NUWA(Module):
             decode_chunks=decode_max_batchsize,
         )
 
+    # ---- sliding-window long rollout --------------------------------------
+
+    def generate_long(
+        self,
+        p,
+        *,
+        text,
+        key,
+        num_frames,
+        filter_thres=0.9,
+        temperature=1.0,
+        cond_scale=2.0,
+        decode_max_batchsize=10,
+        decode_video=True,
+    ):
+        """Generate ``num_frames > max_video_frames`` with the reference's
+        sliding frame window (nuwa_pytorch.py:1874-1877): once the buffer is
+        full, each new frame is decoded against the last max_video_frames-1
+        frames. One jitted per-frame scan, re-used across frames.
+        """
+        b = text.shape[0]
+        tpf = self.tokens_per_frame
+        maxf = self.max_video_frames
+        if num_frames <= maxf:
+            return self.generate(
+                p, text=text, key=key, filter_thres=filter_thres,
+                temperature=temperature, cond_scale=cond_scale,
+                num_frames=num_frames, decode_video=decode_video,
+                decode_max_batchsize=decode_max_batchsize,
+            )
+
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx2 = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+
+        # first maxf frames with the standard path
+        key, sub = jax.random.split(key)
+        indices = self.generate(
+            p, text=text, key=sub, filter_thres=filter_thres,
+            temperature=temperature, cond_scale=cond_scale,
+            num_frames=maxf, decode_video=False,
+        )
+
+        from ..ops.sampling import gumbel_sample, top_k_filter
+
+        win = maxf * tpf  # window = (maxf-1) prior frames + current frame
+
+        @jax.jit
+        def decode_frame(window, key):
+            """window: (b, win) with the last tpf positions to be filled."""
+
+            def step(carry, t):
+                window, key = carry
+                key, sub = jax.random.split(key)
+                inp = window[:, : win - 1]
+                i = (maxf - 1) * tpf + t
+                if use_cfg:
+                    logits2 = self._decode_logits(
+                        p, jnp.concatenate([inp, inp], axis=0), ctx2, cmask2
+                    )
+                    row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
+                    logits = row[b:] + (row[:b] - row[b:]) * cond_scale
+                else:
+                    lg = self._decode_logits(p, inp, text_embeds, text_mask)
+                    logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
+                filtered = top_k_filter(logits, thres=filter_thres)
+                sample = gumbel_sample(sub, filtered, temperature=temperature)
+                window = window.at[:, (maxf - 1) * tpf + t].set(sample.astype(jnp.int32))
+                return (window, key), sample.astype(jnp.int32)
+
+            (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
+            return frame.T  # (b, tpf)
+
+        for _ in range(num_frames - maxf):
+            key, sub = jax.random.split(key)
+            window = jnp.concatenate(
+                [indices[:, -(maxf - 1) * tpf :], jnp.zeros((b, tpf), jnp.int32)],
+                axis=1,
+            )
+            frame = decode_frame(window, sub)
+            indices = jnp.concatenate([indices, frame], axis=1)
+
+        if not decode_video or self.vae is None:
+            return indices
+        return self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], indices,
+            decode_chunks=decode_max_batchsize,
+        )
+
     # ---- cached incremental decoding --------------------------------------
 
     def _generate_cached(

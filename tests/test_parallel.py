@@ -130,3 +130,37 @@ def test_generate_under_mesh():
     text = jnp.array([[1, 2, 3, 0]])
     idx = model.generate(sp, text=text, key=KEY, decode_video=False, cond_scale=1.0)
     assert idx.shape == (1, 8)
+
+
+def test_context_parallel_sparse3dna_matches_single_device():
+    """Frame-axis CP with halo exchange must equal the plain layer."""
+    from nuwa_tpu.nda import Sparse3DNA
+    from nuwa_tpu.parallel.context_parallel import context_parallel_sparse_3dna
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    mod = Sparse3DNA(
+        dim=16, video_shape=(8, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 1 + 8 * 4, 16))
+    ref = np.asarray(mod(p, x))
+    out = np.asarray(context_parallel_sparse_3dna(mod, p, x, mesh, axis="data"))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_context_parallel_multihop_halo():
+    """Lookback larger than one shard (dilation 2 -> LB=4 frames, 1/shard)."""
+    from nuwa_tpu.nda import Sparse3DNA
+    from nuwa_tpu.parallel.context_parallel import context_parallel_sparse_3dna
+
+    mesh = make_mesh(data=8, model=1)
+    mod = Sparse3DNA(
+        dim=16, video_shape=(8, 2, 2), kernel_size=3, dilation=2,
+        heads=2, dim_head=8, causal=True,
+    )
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 1 + 8 * 4, 16))
+    ref = np.asarray(mod(p, x))
+    out = np.asarray(context_parallel_sparse_3dna(mod, p, x, mesh, axis="data"))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
