@@ -255,6 +255,99 @@ class NUWASketch(Module):
 
     __call__ = forward
 
+    # ---- sliding-window long rollout --------------------------------------
+
+    def generate_long(
+        self,
+        p,
+        *,
+        sketch,
+        key,
+        num_frames,
+        sketch_mask=None,
+        filter_thres=0.9,
+        temperature=1.0,
+        cond_scale=2.0,
+        decode_max_batchsize=10,
+        decode_video=True,
+    ):
+        """Sliding frame-window rollout past max_video_frames (reference
+        :2471-2474)."""
+        if sketch.ndim == 4:
+            sketch = sketch[:, None]
+        b = sketch.shape[0]
+        tpf = self.tokens_per_frame
+        maxf = self.max_video_frames
+        if num_frames <= maxf:
+            return self.generate(
+                p, sketch=sketch, key=key, sketch_mask=sketch_mask,
+                filter_thres=filter_thres, temperature=temperature,
+                cond_scale=cond_scale, num_frames=num_frames,
+                decode_video=decode_video,
+                decode_max_batchsize=decode_max_batchsize,
+            )
+
+        sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx2 = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
+            cmask2 = jnp.concatenate(
+                [context_mask, jnp.zeros_like(context_mask)], axis=0
+            )
+
+        key, sub = jax.random.split(key)
+        indices = self.generate(
+            p, sketch=sketch, key=sub, sketch_mask=sketch_mask,
+            filter_thres=filter_thres, temperature=temperature,
+            cond_scale=cond_scale, num_frames=maxf, decode_video=False,
+        )
+
+        from ..ops.sampling import gumbel_sample, top_k_filter
+
+        win = maxf * tpf
+
+        @jax.jit
+        def decode_frame(window, key):
+            def step(carry, t):
+                window, key = carry
+                key, sub = jax.random.split(key)
+                inp = window[:, : win - 1]
+                i = (maxf - 1) * tpf + t
+                if use_cfg:
+                    logits2 = self._decode_logits(
+                        p, jnp.concatenate([inp, inp], axis=0), ctx2, cmask2
+                    )
+                    row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
+                    logits = row[b:] + (row[:b] - row[b:]) * cond_scale
+                else:
+                    lg = self._decode_logits(p, inp, sketch_embeds, context_mask)
+                    logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
+                filtered = top_k_filter(logits, thres=filter_thres)
+                sample = gumbel_sample(sub, filtered, temperature=temperature)
+                window = window.at[:, (maxf - 1) * tpf + t].set(
+                    sample.astype(jnp.int32)
+                )
+                return (window, key), sample.astype(jnp.int32)
+
+            (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
+            return frame.T
+
+        for _ in range(num_frames - maxf):
+            key, sub = jax.random.split(key)
+            window = jnp.concatenate(
+                [indices[:, -(maxf - 1) * tpf :], jnp.zeros((b, tpf), jnp.int32)],
+                axis=1,
+            )
+            frame = decode_frame(window, sub)
+            indices = jnp.concatenate([indices, frame], axis=1)
+
+        if not decode_video:
+            return indices
+        return self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], indices,
+            decode_chunks=decode_max_batchsize,
+        )
+
     # ---- sampling ---------------------------------------------------------
 
     def generate(

@@ -32,6 +32,24 @@ from .reversible import reversible_sequence
 
 
 @dataclass(frozen=True)
+class PreNorm(Module):
+    """Pre-LayerNorm wrapper (reference ``PreNorm``, nuwa_pytorch.py:97-110 —
+    defined there but unused; SandwichNorm is used everywhere). Kept for
+    inventory parity and as a composition option."""
+
+    dim: int
+    inner: Module
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"norm": LayerNorm(self.dim).init(k1), "inner": self.inner.init(k2)}
+
+    def __call__(self, p, x, **kw):
+        x = LayerNorm(self.dim)(p["norm"], x)
+        return self.inner(p["inner"], x, **kw)
+
+
+@dataclass(frozen=True)
 class Sandwich(Module):
     """Pre+post LayerNorm around an inner block (CogView sandwich norm)."""
 
