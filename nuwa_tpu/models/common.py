@@ -31,6 +31,7 @@ def cached_ar_rollout(
     temperature,
     cond_scale,
     dim,
+    dtype=None,
 ):
     """Shared cached AR rollout: one lax.scan over positions with per-layer
     caches (see nuwa_tpu.decode). CFG runs cond+uncond as a 2×batch stream
@@ -45,6 +46,8 @@ def cached_ar_rollout(
         )
         bos = jnp.broadcast_to(bos_vec, (batch, dim))
         x_i = jnp.where(i == 0, bos, tok_emb)
+        if dtype is not None:
+            x_i = x_i.astype(dtype)
         if use_cfg:
             x_i = jnp.concatenate([x_i, x_i], axis=0)
         y, caches = dec.step(p_transformer, caches, x_i, i)

@@ -63,8 +63,13 @@ class NUWA(Module):
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
     num_image_tokens: Optional[int] = None  # required when vae is None
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" — activations dtype
 
     # ---- derived ----------------------------------------------------------
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     @property
     def _image_size(self):
@@ -183,6 +188,8 @@ class NUWA(Module):
         b, seq_len = text.shape
         assert seq_len <= self.text_max_seq_len
         tokens = self._text_embedding(p["text_embedding"], text, train=train)
+        if self._dtype is not None:
+            tokens = tokens.astype(self._dtype)
         rot = None
         if self.text_rotary_pos_emb:
             rot = rotary_freqs(seq_len, min(32, self.text_enc_dim_head))
@@ -207,6 +214,8 @@ class NUWA(Module):
         emb = emb + pos[None]
         bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
         emb = jnp.concatenate([bos, emb], axis=1)
+        if self._dtype is not None:
+            emb = emb.astype(self._dtype)
         out = self.video_transformer(
             p["video_transformer"],
             emb,
@@ -456,7 +465,8 @@ class NUWA(Module):
             ctx, cmask, eb = text_embeds, text_mask, b
 
         dec = TransformerDecoder(self.video_transformer, total_in=total)
-        caches = dec.init_cache(p["video_transformer"], eb, ctx, cmask)
+        cache_dtype = self._dtype if self._dtype is not None else jnp.float32
+        caches = dec.init_cache(p["video_transformer"], eb, ctx, cmask, dtype=cache_dtype)
         return cached_ar_rollout(
             dec=dec,
             p_transformer=p["video_transformer"],
@@ -472,4 +482,5 @@ class NUWA(Module):
             temperature=temperature,
             cond_scale=cond_scale,
             dim=self.dim,
+            dtype=self._dtype,
         )

@@ -135,3 +135,12 @@ def test_generate_cached_with_vae():
     video = model.generate(p, text=jnp.array([[1, 2, 0]]), key=KEY, method="cached")
     assert video.shape == (1, 2, 3, 8, 8)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_generate_cached_bf16():
+    model = tiny_nuwa(max_video_frames=2, compute_dtype="bfloat16")
+    p = model.init(KEY)
+    text = jnp.array([[1, 2, 3, 0]])
+    idx = model.generate(p, text=text, key=KEY, decode_video=False, cond_scale=2.0)
+    assert idx.shape == (1, 2 * model.tokens_per_frame)
+    assert int(jnp.max(idx)) < model.codebook_size
