@@ -286,3 +286,66 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
 def sizes_index(kernel):
     """Indices (axis ids) of kernel axes with size > 1, in order."""
     return [i for i, s in enumerate(kernel) if s > 1]
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: pallas forward, XLA-gather backward (remat-style)
+# ---------------------------------------------------------------------------
+
+_VJP_CACHE = {}
+
+
+def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
+    """Return a differentiable op ``f(p_sub, q, k, v, k_bos, v_bos)``.
+
+    Forward runs the Pallas kernel; the backward recomputes the equivalent
+    XLA gather-attention (nuwa_tpu/nda) and uses its VJP — the forward stays
+    on the fused kernel while gradients remain exact (rematerialization, no
+    extra residuals saved).
+    """
+    cache_key = (mod, num_frames, t)
+    if cache_key in _VJP_CACHE:
+        return _VJP_CACHE[cache_key]
+
+    from ..nda import _nda_attend, build_nda_indices, gather_neighbors
+
+    F, fh, fw = mod.video_shape
+    HW = fh * fw
+    mode = "causal" if mod.causal else "centered"
+    idx_np, valid_np = build_nda_indices(
+        (num_frames, fh, fw), mod.kernel, mod.dilations, (mode,) * 3
+    )
+    idx_np, valid_np = idx_np[:t], valid_np[:t]
+    if t < num_frames * HW:
+        valid_np = valid_np & (idx_np < t)
+    idx_c = jnp.asarray(idx_np)
+    valid_c = jnp.asarray(valid_np)
+
+    def reference(p_sub, q, k, v, k_bos, v_bos):
+        rel_bias = None
+        if mod.rel_pos_bias:
+            rel_bias = mod.bias_module(p_sub["rel_pos_bias"]).T
+        k_nb = gather_neighbors(k, idx_c)
+        v_nb = gather_neighbors(v, idx_c)
+        out = _nda_attend(
+            q[:, :, :t], k_nb, v_nb, valid_c, k_bos, v_bos, rel_bias,
+            p_sub["talking_heads"],
+        )
+        return out
+
+    @jax.custom_vjp
+    def op(p_sub, q, k, v, k_bos, v_bos):
+        return sparse_3dna_pallas(mod, p_sub, q, k, v, k_bos, v_bos, num_frames, t)
+
+    def op_fwd(p_sub, q, k, v, k_bos, v_bos):
+        out = sparse_3dna_pallas(mod, p_sub, q, k, v, k_bos, v_bos, num_frames, t)
+        return out, (p_sub, q, k, v, k_bos, v_bos)
+
+    def op_bwd(res, g):
+        p_sub, q, k, v, k_bos, v_bos = res
+        _, vjp = jax.vjp(reference, p_sub, q, k, v, k_bos, v_bos)
+        return vjp(g)
+
+    op.defvjp(op_fwd, op_bwd)
+    _VJP_CACHE[cache_key] = op
+    return op

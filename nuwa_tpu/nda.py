@@ -275,15 +275,18 @@ class Sparse3DNA(Module):
 
         pallas_ok = self.use_pallas and tokens_per_frame <= 256 and key is None
         if pallas_ok:
-            from .kernels.nda_pallas import sparse_3dna_pallas
+            from .kernels.nda_pallas import sparse_3dna_pallas_vjp
 
             q_pad = (
                 jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
                 if t < num_frames * tokens_per_frame
                 else q
             )
-            out = sparse_3dna_pallas(
-                self, p, q_pad, k, v, k_bos, v_bos, num_frames, t
+            p_sub = {"talking_heads": p["talking_heads"]}
+            if self.rel_pos_bias:
+                p_sub["rel_pos_bias"] = p["rel_pos_bias"]
+            out = sparse_3dna_pallas_vjp(self, num_frames, t)(
+                p_sub, q_pad, k, v, k_bos, v_bos
             )
         else:
             chunk_frames = self.query_num_frames_chunk

@@ -91,12 +91,14 @@ class MemmappedImageDataset:
         return self.memmap.shape[0]
 
     def __getitem__(self, index):
-        arr = np.asarray(self.memmap[index], dtype=np.float32) / 255.0
+        from ..native import gather_normalize_f32, rot90_f32
+
+        arr = gather_normalize_f32(self.memmap, np.asarray([index]))[0]
         if arr.ndim == 2:
             arr = arr[None]
         if self.random_rotate:
             k = self.rng.choice([0, 1, 2, 3])
-            arr = np.rot90(arr, k, axes=(-2, -1)).copy()
+            arr = rot90_f32(arr, k)
         return arr  # (c, h, w)
 
 

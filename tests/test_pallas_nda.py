@@ -70,3 +70,23 @@ def test_pallas_3dna_larger_grid():
     )
     x = jax.random.normal(KEY, (1, 1 + 64, 32))
     _compare(mod, x)
+
+
+def test_pallas_gradients_match_xla_path():
+    """jax.grad through the pallas op (XLA-remat backward) == gather path."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    mod_pl = mod.replace(use_pallas=True)
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 13, 16))
+
+    def loss(m, p, x):
+        return jnp.sum(m(p, x) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
