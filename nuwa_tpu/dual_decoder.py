@@ -13,6 +13,13 @@ The reversible variant flattens this schedule into quad-stream blocks run by
 modules with plain residuals (note the reference's non-reversible inter-
 modality step attends the *pre-update* opposite stream, :1463-1478, while
 the reversible one attends the updated video half — both behaviors are kept).
+
+Documented deviation: both variants share the reversible reference's layer
+menu (per depth: [self+ff] then [cross+ff], :1561-1594), so the plain
+decoder carries one extra FF per stream per depth compared to the reference's
+non-reversible layout (:1330-1395, which shares a single FF across self+cross)
+— a strict capability superset; the reversible variant (the default) matches
+exactly.
 """
 from __future__ import annotations
 

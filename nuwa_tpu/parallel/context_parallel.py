@@ -117,7 +117,6 @@ def context_parallel_sparse_3dna(
         mesh=mesh,
         in_specs=(pspec, P(None, axis, None), P()),
         out_specs=P(None, axis, None),
-        check_rep=False,
     )(p, x_video, x_bos)
 
     # bos adopts its own value
