@@ -269,8 +269,8 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, HW, d), jnp.float32),        # kbuf
-            pltpu.VMEM((h, HW, d), jnp.float32),        # vbuf
+            pltpu.VMEM((h, HW, d), q.dtype),            # kbuf (matches DMA src)
+            pltpu.VMEM((h, HW, d), q.dtype),            # vbuf
             pltpu.VMEM((kf, h, HW, HW), jnp.bfloat16),  # p_buf
             pltpu.VMEM((h, HW), jnp.float32),           # m_buf
             pltpu.VMEM((h, HW, d), jnp.float32),        # acc

@@ -57,8 +57,13 @@ class NUWASketch(Module):
     sparse_3dna_dilation: int | Tuple[int, ...] = 1
     sparse_3dna_query_num_frames_chunk: Optional[int] = None
     sparse_3dna_use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     # ---- derived ----------------------------------------------------------
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     @property
     def sketch_fmap_size(self):
@@ -178,6 +183,8 @@ class NUWASketch(Module):
             p["sketch_pos_emb"]
         )[:n]
         tokens = tokens + pos[None]
+        if self._dtype is not None:
+            tokens = tokens.astype(self._dtype)
 
         if mask is not None:
             token_mask = jnp.repeat(mask, n // frames, axis=1)
@@ -200,6 +207,8 @@ class NUWASketch(Module):
         emb = emb + pos[None]
         bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
         emb = jnp.concatenate([bos, emb], axis=1)
+        if self._dtype is not None:
+            emb = emb.astype(self._dtype)
         out = self.video_transformer(
             p["video_transformer"], emb, context=sketch_embeds,
             context_mask=context_mask, key=key,

@@ -65,8 +65,13 @@ class NUWAVideoAudio(Module):
     sparse_2dna_rel_pos_bias: bool = True
     audio_loss_weight: float = 1.0
     cross_modality_attn_every: int = 3
+    compute_dtype: Optional[str] = None
 
     # ---- derived ----------------------------------------------------------
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     @property
     def video_fmap_size(self):
@@ -176,6 +181,8 @@ class NUWAVideoAudio(Module):
                 p["text_abs_pos_emb"], jnp.arange(seq_len)
             )
             tokens = tokens + pos[None]
+        if self._dtype is not None:
+            tokens = tokens.astype(self._dtype)
         return self.text_transformer(
             p["text_transformer"], tokens, mask=mask, rotary_pos_emb=rot, key=key
         )
@@ -191,7 +198,8 @@ class NUWAVideoAudio(Module):
         )[:n]
         emb = emb + pos[None]
         bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
-        return jnp.concatenate([bos, emb], axis=1)
+        emb = jnp.concatenate([bos, emb], axis=1)
+        return emb.astype(self._dtype) if self._dtype is not None else emb
 
     def _embed_audio_tokens(self, p, indices, train=False):
         b, n = indices.shape
@@ -200,7 +208,8 @@ class NUWAVideoAudio(Module):
         pos = self._audio_pos_emb(p["audio_pos_emb"])[:n]
         emb = emb + pos[None]
         bos = jnp.broadcast_to(p["audio_bos"], (b, 1, self.dim))
-        return jnp.concatenate([bos, emb], axis=1)
+        emb = jnp.concatenate([bos, emb], axis=1)
+        return emb.astype(self._dtype) if self._dtype is not None else emb
 
     def _decode(
         self, p, video_inp, audio_inp, text_embeds, text_mask, *, key=None, train=False
