@@ -42,6 +42,7 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
         sparse_3dna_kernel_size=3,
         sparse_3dna_dilation=2,
         shift_video_tokens=True,
+        compute_dtype="bfloat16",
     )
     params = model.init(jax.random.PRNGKey(seed))
     text = jnp.ones((batch, text_len), jnp.int32)

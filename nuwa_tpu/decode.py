@@ -17,8 +17,6 @@ instead of O(depth · n · Kn).
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

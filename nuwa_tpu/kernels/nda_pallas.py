@@ -21,8 +21,6 @@ score tiles stay within VMEM); larger fmaps fall back to the XLA path.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import numpy as np
 

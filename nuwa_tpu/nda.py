@@ -311,7 +311,6 @@ class Sparse3DNA(Module):
         """Frame-chunked queries bound peak memory (reference :566-604),
         expressed as a python loop over static chunks (unrolled under jit —
         each chunk's gather stays small)."""
-        _, _, fh, = (self.video_shape[0], *self.video_shape[1:2], self.video_shape[1])
         tokens_per_frame = self.video_shape[1] * self.video_shape[2]
         chunk = self.query_num_frames_chunk * tokens_per_frame
         t = q.shape[2]
@@ -355,7 +354,6 @@ class SparseCausal2DNA(Module):
     kernel_size: int = 5
     dilation: int = 1
     rel_pos_bias: bool = False
-    max_timesteps: int = 4096  # static cap for the index table
 
     @property
     def inner_dim(self):
