@@ -62,6 +62,7 @@ class NUWA(Module):
     sparse_3dna_dilation: int | Tuple[int, ...] = 1
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
+    sparse_3dna_backend: str = "gather"
     num_image_tokens: Optional[int] = None  # required when vae is None
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" — activations dtype
 
@@ -143,6 +144,7 @@ class NUWA(Module):
             sparse_3dna_query_num_frames_chunk=self.sparse_3dna_query_num_frames_chunk,
             sparse_3dna_rel_pos_bias=self.sparse_3dna_rel_pos_bias,
             sparse_3dna_use_pallas=self.sparse_3dna_use_pallas,
+            sparse_3dna_backend=self.sparse_3dna_backend,
         )
 
     @property

@@ -159,6 +159,105 @@ def _nda_attend(
 
 
 # ---------------------------------------------------------------------------
+# dense frame-tap attention (XLA, gather-free)
+# ---------------------------------------------------------------------------
+
+
+def _dense_tap_attend(
+    mod, q, k, v, k_bos, v_bos, num_frames, t, rel_bias_axials, th_w,
+):
+    """Gather-free 3DNA: for each temporal tap, the key frames are a *static
+    slice* of the front-padded kv (a shifted view), and the spatial
+    neighborhood is a static (HW, HW) mask over a dense frame-vs-frame MXU
+    matmul. No neighbor materialization — O(Kf) slices instead of an
+    (n, Kn, d) gather — and natively differentiable (the backward is also
+    gather-free). Mirrors the Pallas kernel's math in pure XLA.
+
+    q: (b, h, F*HW, d) padded to full frames (pre-scaled);
+    k, v: (b, h, F*HW, d); k_bos/v_bos: (b, h, 1, d). Returns (b, h, t, d).
+    """
+    b, h, _, d = q.shape
+    F = num_frames
+    _, fh, fw = mod.video_shape[0], mod.video_shape[1], mod.video_shape[2]
+    HW = fh * fw
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    causal = mod.causal
+
+    from .kernels.nda_pallas import _spatial_mask_and_selector
+
+    mask_np, selector_np = _spatial_mask_and_selector(fh, fw, kh, kw, dh_, dw, causal)
+    maskf = jnp.asarray(np.where(mask_np, 0.0, -1e30), jnp.float32)  # (HW, HW)
+
+    # axial bias decomposition (see pallas wrapper)
+    if rel_bias_axials is not None:
+        comp = dict(
+            zip([i for i, s in enumerate(mod.kernel) if s > 1], rel_bias_axials)
+        )
+        f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
+        if f_tab is not None:
+            fb = jnp.transpose(f_tab)
+            fbias = fb[:, ::-1] if causal else fb  # (h, kf): tap j = offset -j·df
+        else:
+            fbias = jnp.zeros((h, kf), jnp.float32)
+        hw_tab = jnp.zeros((kh, kw, h), jnp.float32)
+        if h_tab is not None:
+            hw_tab = hw_tab + h_tab[:, None, :]
+        if w_tab is not None:
+            hw_tab = hw_tab + w_tab[None, :, :]
+        sbias = jnp.einsum(
+            "qkt,th->hqk",
+            jnp.asarray(selector_np, jnp.float32),
+            hw_tab.reshape(kh * kw, h),
+        )  # (h, HW, HW)
+    else:
+        fbias = jnp.zeros((h, kf), jnp.float32)
+        sbias = jnp.zeros((1, HW, HW), jnp.float32)
+
+    LB = (kf - 1) * df if causal else ((kf - 1) // 2) * df
+    RB = 0 if causal else ((kf - 1) // 2) * df
+    kf5 = k.reshape(b, h, F, HW, d)
+    vf5 = v.reshape(b, h, F, HW, d)
+    zpad = ((0, 0), (0, 0), (LB, RB), (0, 0), (0, 0))
+    kp = jnp.pad(kf5, zpad)
+    vp = jnp.pad(vf5, zpad)
+    qf = q.reshape(b, h, F, HW, d)
+
+    col_tok = np.arange(HW)[None, :]  # (1, HW)
+    sims = []
+    v_taps = []
+    for j in range(kf):
+        off = -j * df if causal else (j - (kf - 1) // 2) * df
+        start = off + LB  # >= 0 by construction
+        k_j = jax.lax.slice_in_dim(kp, start, start + F, axis=2)
+        v_j = jax.lax.slice_in_dim(vp, start, start + F, axis=2)
+        s = jnp.einsum("bhfid,bhfjd->bhfij", qf, k_j).astype(jnp.float32)
+        s = s + maskf[None, None, None]
+        s = s + sbias[None, :, None]
+        s = s + fbias[None, :, j, None, None, None]
+        # validity: tap frame in range + token index < t (numpy-static)
+        src_frame = np.arange(F) + off  # (F,)
+        tok_idx = src_frame[:, None] * HW + col_tok  # (F, HW)
+        ok = (src_frame[:, None] >= 0) & (src_frame[:, None] < F) & (tok_idx < t)
+        s = jnp.where(jnp.asarray(ok)[None, None, :, None, :], s, -1e30)
+        sims.append(s)
+        v_taps.append(v_j)
+
+    sim_bos = jnp.einsum("bhfid,bhd->bhfi", qf, k_bos[:, :, 0]).astype(jnp.float32)
+    sim = jnp.concatenate([sim_bos[..., None]] + sims, axis=-1)
+
+    attn = stable_softmax(sim, axis=-1)
+    attn = jnp.einsum("bhfij,gh->bgfij", attn, th_w.astype(attn.dtype))
+    attn = attn.astype(v.dtype)
+
+    out = attn[..., :1] * v_bos[:, :, None]
+    for j in range(kf):
+        a_j = attn[..., 1 + j * HW : 1 + (j + 1) * HW]
+        out = out + jnp.einsum("bhfij,bhfjd->bhfid", a_j, v_taps[j])
+    return out.reshape(b, h, F * HW, d)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
 # Sparse3DNA
 # ---------------------------------------------------------------------------
 
@@ -183,6 +282,7 @@ class Sparse3DNA(Module):
     query_num_frames_chunk: Optional[int] = None  # memory knob (scan chunking)
     rel_pos_bias: bool = False
     use_pallas: bool = False  # production kernel (nuwa_tpu/kernels)
+    backend: str = "gather"  # 'gather' | 'dense' (gather-free XLA frame taps)
 
     @property
     def kernel(self):
@@ -287,6 +387,17 @@ class Sparse3DNA(Module):
                 p_sub["rel_pos_bias"] = p["rel_pos_bias"]
             out = sparse_3dna_pallas_vjp(self, num_frames, t)(
                 p_sub, q_pad, k, v, k_bos, v_bos
+            )
+        elif self.backend == "dense" and key is None:
+            q_pad = (
+                jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
+                if t < num_frames * tokens_per_frame
+                else q
+            )
+            axials = p["rel_pos_bias"]["axials"] if self.rel_pos_bias else None
+            out = _dense_tap_attend(
+                self, q_pad, k, v, k_bos, v_bos, num_frames, t, axials,
+                p["talking_heads"],
             )
         else:
             chunk_frames = self.query_num_frames_chunk

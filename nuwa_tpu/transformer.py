@@ -135,6 +135,7 @@ def _build_layer_menu(
     sparse_3dna_dilations,
     sparse_3dna_rel_pos_bias,
     sparse_3dna_use_pallas,
+    sparse_3dna_backend,
     shift_video_tokens_flag,
     include_cross_ff,
 ):
@@ -168,6 +169,7 @@ def _build_layer_menu(
                 rel_pos_bias=sparse_3dna_rel_pos_bias,
                 dropout=attn_dropout,
                 use_pallas=sparse_3dna_use_pallas,
+                backend=sparse_3dna_backend,
             )
         else:
             self_attn = Attention(
@@ -261,6 +263,7 @@ class Transformer(Module):
     sparse_3dna_dilations: Tuple[int, ...] = (1,)
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
+    sparse_3dna_backend: str = "gather"
     shift_video_tokens: bool = False
     rotary_pos_emb: bool = False
 
@@ -288,6 +291,7 @@ class Transformer(Module):
             sparse_3dna_dilations=self.sparse_3dna_dilations,
             sparse_3dna_rel_pos_bias=self.sparse_3dna_rel_pos_bias,
             sparse_3dna_use_pallas=self.sparse_3dna_use_pallas,
+            sparse_3dna_backend=self.sparse_3dna_backend,
             shift_video_tokens_flag=self.shift_video_tokens,
             include_cross_ff=self._include_cross_ff,
         )

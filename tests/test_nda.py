@@ -427,3 +427,41 @@ def test_sparse_cross_2dna_masked_context_ignored():
     ctx2 = ctx.at[:, 3].set(77.0)
     out2 = np.asarray(mod(p, x, context=ctx2, context_mask=cmask))
     np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_dense_tap_backend_matches_gather(causal):
+    """The gather-free dense frame-tap backend must equal the gather path."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(4, 2, 2), kernel_size=3, dilation=2,
+        heads=2, dim_head=8, causal=causal, rel_pos_bias=True,
+    )
+    mod_dense = mod.replace(backend="dense")
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 1 + 16, 16))
+    np.testing.assert_allclose(
+        np.asarray(mod_dense(p, x)), np.asarray(mod(p, x)), atol=1e-4, rtol=1e-3
+    )
+    # ragged tail
+    x2 = jax.random.normal(KEY, (1, 1 + 10, 16))
+    np.testing.assert_allclose(
+        np.asarray(mod_dense(p, x2)), np.asarray(mod(p, x2)), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_dense_tap_backend_gradients():
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True,
+    )
+    mod_dense = mod.replace(backend="dense")
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 13, 16))
+
+    def loss(m, p, x):
+        return jnp.sum(m(p, x) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    g_dense = jax.grad(loss, argnums=(1, 2))(mod_dense, p, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
