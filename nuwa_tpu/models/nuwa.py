@@ -62,7 +62,7 @@ class NUWA(Module):
     sparse_3dna_dilation: int | Tuple[int, ...] = 1
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
-    sparse_3dna_backend: str = "gather"
+    sparse_3dna_backend: str = "auto"
     num_image_tokens: Optional[int] = None  # required when vae is None
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" — activations dtype
 

@@ -282,7 +282,10 @@ class Sparse3DNA(Module):
     query_num_frames_chunk: Optional[int] = None  # memory knob (scan chunking)
     rel_pos_bias: bool = False
     use_pallas: bool = False  # production kernel (nuwa_tpu/kernels)
-    backend: str = "gather"  # 'gather' | 'dense' (gather-free XLA frame taps)
+    backend: str = "auto"  # 'auto' | 'gather' | 'dense' (gather-free frame taps)
+    # 'dense' is ~2.2x faster for training on TPU at fmap<=16 (no neighbor
+    # materialization); 'auto' picks it there and falls back to 'gather'
+    # for larger grids or when attention dropout is active.
 
     @property
     def kernel(self):
@@ -388,7 +391,10 @@ class Sparse3DNA(Module):
             out = sparse_3dna_pallas_vjp(self, num_frames, t)(
                 p_sub, q_pad, k, v, k_bos, v_bos
             )
-        elif self.backend == "dense" and key is None:
+        elif (
+            self.backend == "dense"
+            or (self.backend == "auto" and tokens_per_frame <= 256)
+        ) and key is None:
             q_pad = (
                 jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
                 if t < num_frames * tokens_per_frame

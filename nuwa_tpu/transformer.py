@@ -263,7 +263,7 @@ class Transformer(Module):
     sparse_3dna_dilations: Tuple[int, ...] = (1,)
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
-    sparse_3dna_backend: str = "gather"
+    sparse_3dna_backend: str = "auto"
     shift_video_tokens: bool = False
     rotary_pos_emb: bool = False
 
