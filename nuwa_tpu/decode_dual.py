@@ -19,8 +19,6 @@ Token order (one video frame's tokens, then one audio frame's, reference
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

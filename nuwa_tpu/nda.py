@@ -106,12 +106,6 @@ def build_nda_indices(
     return idx.astype(np.int32), valid
 
 
-def _full_window_sizes(shape, kernel, modes):
-    return tuple(
-        s if m == "full" else k for s, k, m in zip(shape, kernel, modes)
-    )
-
-
 def gather_neighbors(t, idx):
     """Gather neighbor vectors: t (b, h, n_kv, d), idx (n_q, Kn) -> (b, h, n_q, Kn, d)."""
     return jnp.take(t, idx, axis=2)

@@ -10,8 +10,6 @@ the MXU; the softmax runs in fp32 regardless of compute dtype.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

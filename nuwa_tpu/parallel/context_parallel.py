@@ -12,8 +12,6 @@ lookbacks larger than a shard.
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -7,8 +7,6 @@ gradients, all-gather/reduce-scatter for TP) from sharding annotations.
 """
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 import jax

@@ -19,7 +19,7 @@ Inversion:                      x2 = y2 - g(y1)      ; x1 = y1 - f(x2).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ the resume path the reference lacks.
 """
 from __future__ import annotations
 
-import functools
-import math
 from pathlib import Path
 
 import numpy as np

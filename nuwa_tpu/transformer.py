@@ -15,12 +15,10 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .core.layers import LayerNorm, Module, StableLayerNorm
-from .nda import Sparse3DNA, SparseCausal2DNA, SparseCross2DNA
+from .nda import Sparse3DNA, SparseCross2DNA
 from .ops.attention import Attention
-from .ops.crossmodality import CrossModalityCrossAttention
 from .ops.feedforward import FeedForward
 from .ops.shift import shift_audio_tokens, shift_video_tokens
 from .reversible import reversible_sequence

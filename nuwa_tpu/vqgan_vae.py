@@ -36,10 +36,9 @@ from .core.layers import (
     Module,
     dropout,
     leaky_relu,
-    normal_init,
     upsample_nearest_or_bilinear,
 )
-from .ops.utils import masked_fill, max_neg_value, stable_softmax
+from .ops.utils import stable_softmax
 from .vq import VectorQuantizeEMA, l2norm
 
 
