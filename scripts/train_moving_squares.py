@@ -1,0 +1,159 @@
+"""Signs-of-life demo: train the full pipeline on synthetic moving squares.
+
+The reference's de-facto validation is "signs of life on moving MNIST"
+(reference README.md:15). This script is the equivalent end-to-end exercise,
+small enough for one TPU chip in a few minutes: a VQGAN codec on synthetic
+frames, NUWA on (direction-word, video) pairs, then text-conditioned
+generation written to docs/.
+
+Run: python scripts/train_moving_squares.py [--steps 300]
+"""
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from nuwa_tpu import NUWA, VQGanVAE
+from nuwa_tpu.models.nuwa import cross_entropy  # noqa: F401
+from nuwa_tpu.tokenizer import tokenizer
+from nuwa_tpu.utils.image import array_to_gif, save_image_grid
+
+DIRECTIONS = {
+    "right": (0, 2),
+    "down": (2, 0),
+    "left": (0, -2),
+    "up": (-2, 0),
+}
+
+
+def make_video(rng, direction, size=64, frames=4, square=16):
+    dy, dx = DIRECTIONS[direction]
+    y = rng.integers(square, size - 2 * square)
+    x = rng.integers(square, size - 2 * square)
+    vid = np.zeros((frames, 3, size, size), np.float32)
+    color = rng.uniform(0.5, 1.0, size=3)
+    for f in range(frames):
+        yy, xx = y + dy * f, x + dx * f
+        vid[f, :, yy : yy + square, xx : xx + square] = color[:, None, None]
+    return vid
+
+
+def batch(rng, n, frames=4):
+    texts, vids = [], []
+    for _ in range(n):
+        d = list(DIRECTIONS)[rng.integers(len(DIRECTIONS))]
+        texts.append(tokenizer.encode(d))
+        vids.append(make_video(rng, d, frames=frames))
+    width = max(len(t) for t in texts)
+    tarr = np.zeros((n, width), np.int64)
+    for i, t in enumerate(texts):
+        tarr[i, : len(t)] = t
+    return jnp.asarray(tarr), jnp.asarray(np.stack(vids))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--out", type=str, default=str(REPO / "docs"))
+    args = ap.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    frames = 4
+
+    # ---- 1. codec ---------------------------------------------------------
+    vae = VQGanVAE(
+        dim=32, image_size=64, num_layers=3, vq_codebook_size=256,
+        vq_codebook_dim=32, use_vgg_and_gan=False, resnet_groups=8,
+        use_attn=False, num_resnet_blocks=1, vq_kmeans_init=True,
+    )
+    vp = vae.init(jax.random.PRNGKey(0))
+    vs = vae.init_state(jax.random.PRNGKey(1))["vq"]
+
+    import optax
+
+    from nuwa_tpu.train.optimizer import get_optimizer
+
+    vtx = get_optimizer(lr=3e-4, wd=0.0, params=vp, frozen_keys=())
+    vopt = vtx.init(vp)
+
+    @jax.jit
+    def vae_step(p, s, opt, imgs, rng_key):
+        def loss_fn(p, s):
+            loss, s2 = vae.forward(p, {"vq": s}, imgs, return_loss=True, rng=rng_key)
+            return loss, s2["vq"]
+
+        (loss, s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
+        updates, opt = vtx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), s, opt, loss
+
+    key = jax.random.PRNGKey(2)
+    for step in range(args.steps):
+        _, vids = batch(rng, 4, frames)
+        imgs = vids.reshape(-1, 3, 64, 64)
+        key, sub = jax.random.split(key)
+        vp, vs, vopt, loss = vae_step(vp, vs, vopt, imgs, sub)
+        if step % 50 == 0:
+            print(f"vae step {step}: loss {float(loss):.4f}", flush=True)
+    print(f"vae final loss {float(loss):.4f}", flush=True)
+
+    # reconstruction artifact
+    recon = vae.forward(vp, {"vq": vs}, imgs[:4])
+    pair = np.stack([np.asarray(imgs[:4]), np.asarray(recon)], 1).reshape(-1, 3, 64, 64)
+    save_image_grid(pair.clip(0, 1), out / "vae_recon.png", nrow=2)
+
+    # ---- 2. NUWA ----------------------------------------------------------
+    model = NUWA(
+        dim=192, vae=vae, max_video_frames=frames, text_num_tokens=tokenizer.vocab_size,
+        text_max_seq_len=8, text_enc_depth=1, text_enc_dim_head=32, text_enc_heads=4,
+        dec_depth=3, dec_dim_head=32, dec_heads=4, sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=1, shift_video_tokens=True,
+    )
+    params = model.init(jax.random.PRNGKey(3), vae_params=vp, vae_state={"vq": vs})
+    ntx = get_optimizer(lr=6e-4, wd=0.01, params=params, max_grad_norm=0.5)
+    nopt = ntx.init(params)
+
+    @jax.jit
+    def nuwa_step(p, opt, text, video, k):
+        def loss_fn(p):
+            return model.forward(p, text=text, video=video, return_loss=True,
+                                 key=k, train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt = ntx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    key = jax.random.PRNGKey(4)
+    for step in range(args.steps):
+        text, vids = batch(rng, 4, frames)
+        if text.shape[1] != 2:  # direction words are 1-2 tokens; fix width
+            text = jnp.pad(text, ((0, 0), (0, max(0, 2 - text.shape[1]))))[:, :2]
+        key, sub = jax.random.split(key)
+        params, nopt, loss = nuwa_step(params, nopt, text, vids, sub)
+        if step % 50 == 0:
+            print(f"nuwa step {step}: loss {float(loss):.4f}", flush=True)
+    print(f"nuwa final loss {float(loss):.4f}", flush=True)
+
+    # ---- 3. generate ------------------------------------------------------
+    for d in ("right", "down"):
+        t = np.zeros((1, 2), np.int64)
+        enc = tokenizer.encode(d)[:2]
+        t[0, : len(enc)] = enc
+        video = model.generate(params, text=jnp.asarray(t), key=jax.random.PRNGKey(7),
+                               cond_scale=1.5)
+        arr = np.asarray(video[0]).clip(0, 1)
+        array_to_gif(arr, out / f"sample_{d}.gif")
+        save_image_grid(arr, out / f"sample_{d}.png", nrow=frames)
+        print(f"wrote {out}/sample_{d}.gif", flush=True)
+
+
+if __name__ == "__main__":
+    main()
