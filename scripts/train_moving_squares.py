@@ -33,29 +33,41 @@ DIRECTIONS = {
 }
 
 
-def make_video(rng, direction, size=64, frames=4, square=16):
-    dy, dx = DIRECTIONS[direction]
-    y = rng.integers(square, size - 2 * square)
-    x = rng.integers(square, size - 2 * square)
-    vid = np.zeros((frames, 3, size, size), np.float32)
-    color = rng.uniform(0.5, 1.0, size=3)
-    for f in range(frames):
-        yy, xx = y + dy * f, x + dx * f
-        vid[f, :, yy : yy + square, xx : xx + square] = color[:, None, None]
-    return vid
+def device_batch_fn(frames=4, size=64, square=16, batch=4):
+    """Synthesize (text, video) batches ON DEVICE — host->device uploads are
+    prohibitively slow through the tunnel, so data generation is jitted."""
+    names = list(DIRECTIONS)
+    toks = np.zeros((4, 2), np.int64)
+    for i, name in enumerate(names):
+        enc = tokenizer.encode(name)[:2]
+        toks[i, : len(enc)] = enc
+    toks = jnp.asarray(toks)
+    vels = jnp.asarray([DIRECTIONS[n] for n in names])  # (4, 2)
 
+    def make(key):
+        kd, ky, kx, kc = jax.random.split(key, 4)
+        d = jax.random.randint(kd, (batch,), 0, 4)
+        y0 = jax.random.randint(ky, (batch,), square, size - 2 * square)
+        x0 = jax.random.randint(kx, (batch,), square, size - 2 * square)
+        color = jax.random.uniform(kc, (batch, 3), minval=0.5, maxval=1.0)
+        dy = vels[d][:, 0]
+        dx = vels[d][:, 1]
 
-def batch(rng, n, frames=4):
-    texts, vids = [], []
-    for _ in range(n):
-        d = list(DIRECTIONS)[rng.integers(len(DIRECTIONS))]
-        texts.append(tokenizer.encode(d))
-        vids.append(make_video(rng, d, frames=frames))
-    width = max(len(t) for t in texts)
-    tarr = np.zeros((n, width), np.int64)
-    for i, t in enumerate(texts):
-        tarr[i, : len(t)] = t
-    return jnp.asarray(tarr), jnp.asarray(np.stack(vids))
+        f_idx = jnp.arange(frames)
+        yy = y0[:, None] + dy[:, None] * f_idx[None]  # (b, f)
+        xx = x0[:, None] + dx[:, None] * f_idx[None]
+        rows = jnp.arange(size)
+        in_y = (rows[None, None, :] >= yy[..., None]) & (
+            rows[None, None, :] < yy[..., None] + square
+        )  # (b, f, size)
+        in_x = (rows[None, None, :] >= xx[..., None]) & (
+            rows[None, None, :] < xx[..., None] + square
+        )
+        m = in_y[:, :, None, :, None] & in_x[:, :, None, None, :]  # (b,f,1,h,w)
+        vid = m * color[:, None, :, None, None]
+        return toks[d], vid.astype(jnp.float32)
+
+    return make
 
 
 def main():
@@ -66,8 +78,8 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    rng = np.random.default_rng(0)
     frames = 4
+    make_batch = device_batch_fn(frames=frames)
 
     # ---- 1. codec ---------------------------------------------------------
     vae = VQGanVAE(
@@ -86,7 +98,11 @@ def main():
     vopt = vtx.init(vp)
 
     @jax.jit
-    def vae_step(p, s, opt, imgs, rng_key):
+    def vae_step(p, s, opt, key):
+        dkey, rng_key = jax.random.split(key)
+        _, vids = make_batch(dkey)
+        imgs = vids.reshape(-1, 3, 64, 64)
+
         def loss_fn(p, s):
             loss, s2 = vae.forward(p, {"vq": s}, imgs, return_loss=True, rng=rng_key)
             return loss, s2["vq"]
@@ -97,17 +113,17 @@ def main():
 
     key = jax.random.PRNGKey(2)
     for step in range(args.steps):
-        _, vids = batch(rng, 4, frames)
-        imgs = vids.reshape(-1, 3, 64, 64)
         key, sub = jax.random.split(key)
-        vp, vs, vopt, loss = vae_step(vp, vs, vopt, imgs, sub)
-        if step % 50 == 0:
+        vp, vs, vopt, loss = vae_step(vp, vs, vopt, sub)
+        if step % 100 == 0:
             print(f"vae step {step}: loss {float(loss):.4f}", flush=True)
     print(f"vae final loss {float(loss):.4f}", flush=True)
 
-    # reconstruction artifact
-    recon = vae.forward(vp, {"vq": vs}, imgs[:4])
-    pair = np.stack([np.asarray(imgs[:4]), np.asarray(recon)], 1).reshape(-1, 3, 64, 64)
+    # reconstruction artifact (render on device, fetch the small grid once)
+    _, vids = jax.jit(make_batch)(jax.random.PRNGKey(99))
+    imgs = vids.reshape(-1, 3, 64, 64)[:4]
+    recon = jax.jit(lambda p, s, im: vae.forward(p, {"vq": s}, im))(vp, vs, imgs)
+    pair = np.stack([np.asarray(imgs), np.asarray(recon)], 1).reshape(-1, 3, 64, 64)
     save_image_grid(pair.clip(0, 1), out / "vae_recon.png", nrow=2)
 
     # ---- 2. NUWA ----------------------------------------------------------
@@ -122,7 +138,10 @@ def main():
     nopt = ntx.init(params)
 
     @jax.jit
-    def nuwa_step(p, opt, text, video, k):
+    def nuwa_step(p, opt, key):
+        dkey, k = jax.random.split(key)
+        text, video = make_batch(dkey)
+
         def loss_fn(p):
             return model.forward(p, text=text, video=video, return_loss=True,
                                  key=k, train=True)
@@ -132,13 +151,10 @@ def main():
         return optax.apply_updates(p, updates), opt, loss
 
     key = jax.random.PRNGKey(4)
-    for step in range(args.steps):
-        text, vids = batch(rng, 4, frames)
-        if text.shape[1] != 2:  # direction words are 1-2 tokens; fix width
-            text = jnp.pad(text, ((0, 0), (0, max(0, 2 - text.shape[1]))))[:, :2]
+    for step in range(args.steps * 2):
         key, sub = jax.random.split(key)
-        params, nopt, loss = nuwa_step(params, nopt, text, vids, sub)
-        if step % 50 == 0:
+        params, nopt, loss = nuwa_step(params, nopt, sub)
+        if step % 100 == 0:
             print(f"nuwa step {step}: loss {float(loss):.4f}", flush=True)
     print(f"nuwa final loss {float(loss):.4f}", flush=True)
 
