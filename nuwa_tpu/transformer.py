@@ -264,6 +264,8 @@ class Transformer(Module):
     sparse_3dna_backend: str = "auto"
     shift_video_tokens: bool = False
     rotary_pos_emb: bool = False
+    remat: bool = False  # jax.checkpoint each block (activation-memory knob;
+    # the lighter-weight alternative to the reversible variant, SURVEY §7.5)
 
     @property
     def layer_menu(self):
@@ -331,7 +333,13 @@ class Transformer(Module):
         )
         for (kind, module), lp, lk in zip(menu, p["layers"], keys):
             kw = self._kwargs_for(kind, mask, context, context_mask, rotary_pos_emb)
-            x = module(lp, x, key=lk, **kw) + x
+            if self.remat:
+                fn = jax.checkpoint(
+                    lambda lp, x, lk, _m=module, _kw=kw: _m(lp, x, key=lk, **_kw)
+                )
+                x = fn(lp, x, lk) + x
+            else:
+                x = module(lp, x, key=lk, **kw) + x
         return StableLayerNorm(self.dim)(p["norm"], x)
 
 

@@ -191,3 +191,25 @@ def test_dual_decoder_cross_modality_causality():
     audio3 = audio.at[:, 1:4].set(audio[:, 1:4] * 3.0)
     v3, _ = d(p, video, audio3, context=ctx)
     assert not np.allclose(np.asarray(v1)[:, 5:], np.asarray(v3)[:, 5:])
+
+
+def test_remat_transformer_matches_and_grads():
+    """jax.checkpoint remat knob: identical outputs and gradients."""
+    t = tiny_transformer(causal=True, cross_attend=True)
+    t_remat = tiny_transformer(causal=True, cross_attend=True, remat=True)
+    p = t.init(KEY)
+    x = jax.random.normal(KEY, (1, 6, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16))
+
+    np.testing.assert_allclose(
+        np.asarray(t(p, x, context=ctx)), np.asarray(t_remat(p, x, context=ctx)),
+        atol=1e-6,
+    )
+
+    def loss(m, p):
+        return jnp.sum(m(p, x, context=ctx) ** 2)
+
+    g1 = jax.grad(loss, argnums=1)(t, p)
+    g2 = jax.grad(loss, argnums=1)(t_remat, p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
