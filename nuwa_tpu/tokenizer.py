@@ -59,12 +59,18 @@ def whitespace_clean(text):
     return re.sub(r"\s+", " ", text).strip()
 
 
-_TOKEN_PATTERN = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+try:  # CLIP's exact unicode word pattern needs the `regex` module
+    import regex as _re
+
+    _TOKEN_PATTERN = _re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _re.IGNORECASE,
+    )
+except ImportError:  # ASCII fallback
+    _TOKEN_PATTERN = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
 
 
 class SimpleTokenizer:

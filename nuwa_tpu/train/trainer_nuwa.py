@@ -73,6 +73,9 @@ class NUWATrainer:
         self.tx = get_optimizer(
             lr=lr, wd=wd, params=params, max_grad_norm=max_grad_norm
         )
+        # copy caller-provided params: the jitted step donates the train
+        # state, which would otherwise delete the caller's arrays
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.state = {
             "params": params,
             "opt": self.tx.init(params),
