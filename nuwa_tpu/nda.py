@@ -251,6 +251,158 @@ def _dense_tap_attend(
     return out.reshape(b, h, F * HW, d)[:, :, :t]
 
 
+def _dense_tap_attend_chunked(
+    mod, q, k, v, k_bos, v_bos, num_frames, t, rel_bias_axials, th_w, row_chunk
+):
+    """Row-chunked variant of the gather-free dense path for large fmaps
+    (HW > 256): queries are processed in blocks of ``row_chunk`` rows and the
+    key window per spatial block is only the rows the kernel can reach —
+    scores stay O(R·W × (R+Δ)·W) per tap instead of O(HW²).
+    """
+    b, h, _, d = q.shape
+    F = num_frames
+    fh, fw = mod.video_shape[1], mod.video_shape[2]
+    HW = fh * fw
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    causal = mod.causal
+    R = row_chunk
+    assert fh % R == 0, "row_chunk must divide the fmap height"
+    dh_top = (kh - 1) * dh_ if causal else ((kh - 1) // 2) * dh_
+    dh_bot = 0 if causal else ((kh - 1) // 2) * dh_
+    Rk = R + dh_top + dh_bot  # key rows per block
+
+    # per-head bias tables (axial decomposition, see _dense_tap_attend)
+    if rel_bias_axials is not None:
+        comp = dict(zip([i for i, s in enumerate(mod.kernel) if s > 1], rel_bias_axials))
+        f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
+        if f_tab is not None:
+            fb = jnp.transpose(f_tab)
+            fbias = fb[:, ::-1] if causal else fb
+        else:
+            fbias = jnp.zeros((h, kf), jnp.float32)
+    else:
+        h_tab = w_tab = None
+        fbias = jnp.zeros((h, kf), jnp.float32)
+
+    # static per-block spatial mask over (R*fw, Rk*fw)
+    def block_mask(r0):
+        mask = np.full((R * fw, Rk * fw), -1e30, np.float32)
+        for rr in range(R):
+            qy = r0 + rr
+            for w1 in range(fw):
+                qi = rr * fw + w1
+                for bb in range(kh):
+                    ky = qy + (bb - (kh - 1)) * dh_ if causal else qy + (bb - (kh - 1) // 2) * dh_
+                    if not (0 <= ky < fh):
+                        continue
+                    rk = ky - (r0 - dh_top)  # row inside the key window
+                    if not (0 <= rk < Rk):
+                        continue
+                    for cc in range(kw):
+                        kx = w1 + (cc - (kw - 1)) * dw if causal else w1 + (cc - (kw - 1) // 2) * dw
+                        if 0 <= kx < fw:
+                            mask[qi, rk * fw + kx] = 0.0
+        return mask
+
+    # traced bias matrices need jnp; build a static tap-selector per block
+    def block_selector(r0):
+        sel = np.zeros((R * fw, Rk * fw, kh * kw), np.float32)
+        for rr in range(R):
+            qy = r0 + rr
+            for w1 in range(fw):
+                qi = rr * fw + w1
+                for bb in range(kh):
+                    ky = qy + (bb - (kh - 1)) * dh_ if causal else qy + (bb - (kh - 1) // 2) * dh_
+                    if not (0 <= ky < fh):
+                        continue
+                    rk = ky - (r0 - dh_top)
+                    if not (0 <= rk < Rk):
+                        continue
+                    for cc in range(kw):
+                        kx = w1 + (cc - (kw - 1)) * dw if causal else w1 + (cc - (kw - 1) // 2) * dw
+                        if 0 <= kx < fw:
+                            sel[qi, rk * fw + kx, bb * kw + cc] = 1.0
+        return sel
+
+    if rel_bias_axials is not None:
+        hw_tab = jnp.zeros((kh, kw, h), jnp.float32)
+        if h_tab is not None:
+            hw_tab = hw_tab + h_tab[:, None, :]
+        if w_tab is not None:
+            hw_tab = hw_tab + w_tab[None, :, :]
+        hw_tab = hw_tab.reshape(kh * kw, h)
+
+    LB = (kf - 1) * df if causal else ((kf - 1) // 2) * df
+    RB = 0 if causal else ((kf - 1) // 2) * df
+    kf6 = k.reshape(b, h, F, fh, fw, d)
+    vf6 = v.reshape(b, h, F, fh, fw, d)
+    zpad = ((0, 0), (0, 0), (LB, RB), (dh_top, dh_bot), (0, 0), (0, 0))
+    kp = jnp.pad(kf6, zpad)
+    vp = jnp.pad(vf6, zpad)
+    qf = q.reshape(b, h, F, fh, fw, d)
+
+    out_blocks = []
+    for r0 in range(0, fh, R):
+        q_blk = qf[:, :, :, r0 : r0 + R].reshape(b, h, F, R * fw, d)
+        mask_np = block_mask(r0)
+        maskj = jnp.asarray(mask_np)
+        if rel_bias_axials is not None:
+            sbias = jnp.einsum(
+                "qkt,th->hqk", jnp.asarray(block_selector(r0), jnp.float32), hw_tab
+            )
+        else:
+            sbias = jnp.zeros((1, R * fw, Rk * fw), jnp.float32)
+
+        sims, v_taps = [], []
+        for j in range(kf):
+            off = -j * df if causal else (j - (kf - 1) // 2) * df
+            fstart = off + LB
+            # key rows [r0, r0+Rk) of padded-height frames
+            k_j = kp[:, :, fstart : fstart + F, r0 : r0 + Rk].reshape(
+                b, h, F, Rk * fw, d
+            )
+            v_j = vp[:, :, fstart : fstart + F, r0 : r0 + Rk].reshape(
+                b, h, F, Rk * fw, d
+            )
+            s = jnp.einsum("bhfid,bhfjd->bhfij", q_blk, k_j).astype(jnp.float32)
+            s = s + maskj[None, None, None]
+            s = s + sbias[None, :, None]
+            s = s + fbias[None, :, j, None, None, None]
+            # frame-tap validity + ragged-tail token mask (static numpy)
+            src_frame = np.arange(F) + off
+            key_rows = np.arange(Rk) + (r0 - dh_top)
+            tok_idx = (
+                src_frame[:, None, None] * HW
+                + key_rows[None, :, None] * fw
+                + np.arange(fw)[None, None, :]
+            ).reshape(F, Rk * fw)
+            ok = (
+                (src_frame[:, None] >= 0)
+                & (src_frame[:, None] < F)
+                & (tok_idx < t)
+            )
+            s = jnp.where(jnp.asarray(ok)[None, None, :, None, :], s, -1e30)
+            sims.append(s)
+            v_taps.append(v_j)
+
+        sim_bos = jnp.einsum("bhfid,bhd->bhfi", q_blk, k_bos[:, :, 0]).astype(jnp.float32)
+        sim = jnp.concatenate([sim_bos[..., None]] + sims, axis=-1)
+        attn = stable_softmax(sim, axis=-1)
+        attn = jnp.einsum("bhfij,gh->bgfij", attn, th_w.astype(attn.dtype))
+        attn = attn.astype(v.dtype)
+
+        out = attn[..., :1] * v_bos[:, :, None]
+        blk = Rk * fw
+        for j in range(kf):
+            a_j = attn[..., 1 + j * blk : 1 + (j + 1) * blk]
+            out = out + jnp.einsum("bhfij,bhfjd->bhfid", a_j, v_taps[j])
+        out_blocks.append(out.reshape(b, h, F, R, fw, d))
+
+    out = jnp.concatenate(out_blocks, axis=3)  # (b, h, F, fh, fw, d)
+    return out.reshape(b, h, F * HW, d)[:, :, :t]
+
+
 # ---------------------------------------------------------------------------
 # Sparse3DNA
 # ---------------------------------------------------------------------------
@@ -386,8 +538,8 @@ class Sparse3DNA(Module):
                 p_sub, q_pad, k, v, k_bos, v_bos
             )
         elif (
-            self.backend == "dense"
-            or (self.backend == "auto" and tokens_per_frame <= 256)
+            self.backend in ("dense", "dense_chunked")
+            or (self.backend == "auto" and tokens_per_frame <= 4096)
         ) and key is None:
             q_pad = (
                 jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
@@ -395,10 +547,23 @@ class Sparse3DNA(Module):
                 else q
             )
             axials = p["rel_pos_bias"]["axials"] if self.rel_pos_bias else None
-            out = _dense_tap_attend(
-                self, q_pad, k, v, k_bos, v_bos, num_frames, t, axials,
-                p["talking_heads"],
-            )
+            fh = self.video_shape[1]
+            if self.backend != "dense_chunked" and tokens_per_frame <= 256:
+                out = _dense_tap_attend(
+                    self, q_pad, k, v, k_bos, v_bos, num_frames, t, axials,
+                    p["talking_heads"],
+                )
+            else:
+                # large fmaps: row-chunked key windows keep scores bounded
+                row_chunk = next(
+                    (r for r in range(max(1, 256 // self.video_shape[2]), 0, -1)
+                     if fh % r == 0),
+                    1,
+                )
+                out = _dense_tap_attend_chunked(
+                    self, q_pad, k, v, k_bos, v_bos, num_frames, t, axials,
+                    p["talking_heads"], row_chunk,
+                )
         else:
             chunk_frames = self.query_num_frames_chunk
             if chunk_frames is None or chunk_frames >= num_frames:

@@ -465,3 +465,41 @@ def test_dense_tap_backend_gradients():
     g_dense = jax.grad(loss, argnums=(1, 2))(mod_dense, p, x)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_dense_chunked_backend_matches_gather(causal):
+    """Row-chunked dense path (large-fmap mode) == gather path."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 4, 4), kernel_size=3, dilation=(2, 1, 2),
+        heads=2, dim_head=8, causal=causal, rel_pos_bias=True, backend="gather",
+    )
+    mod_chunked = mod.replace(backend="dense_chunked")
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 1 + 3 * 16, 16))
+    np.testing.assert_allclose(
+        np.asarray(mod_chunked(p, x)), np.asarray(mod(p, x)), atol=1e-4, rtol=1e-3
+    )
+    # ragged tail
+    x2 = jax.random.normal(KEY, (1, 1 + 20, 16))
+    np.testing.assert_allclose(
+        np.asarray(mod_chunked(p, x2)), np.asarray(mod(p, x2)), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_dense_chunked_gradients():
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 4, 4), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, backend="gather",
+    )
+    mod_c = mod.replace(backend="dense_chunked")
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 1 + 32, 16))
+
+    def loss(m, p):
+        return jnp.sum(m(p, x) ** 2)
+
+    g1 = jax.grad(loss, argnums=1)(mod, p)
+    g2 = jax.grad(loss, argnums=1)(mod_c, p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
