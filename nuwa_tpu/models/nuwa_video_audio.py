@@ -491,10 +491,15 @@ class NUWAVideoAudio(Module):
                 )
 
             is_video = sched[i] == 0
-            logits = jnp.where(
-                is_video, pad_to(v_logits, pad_vocab), pad_to(a_logits, pad_vocab)
+            # top-k must be taken over each modality's own (unpadded) vocab —
+            # k is derived from the logits width, so filtering after padding
+            # would keep pad_vocab/own_vocab times too many entries for the
+            # smaller modality (the cached path filters per-branch too).
+            filtered = jnp.where(
+                is_video,
+                pad_to(top_k_filter(v_logits, thres=filter_thres), pad_vocab),
+                pad_to(top_k_filter(a_logits, thres=filter_thres), pad_vocab),
             )
-            filtered = top_k_filter(logits, thres=filter_thres)
             sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
 
             # write the sample into the active modality's buffer; the inactive

@@ -6,11 +6,13 @@ tokenizer.py) — byte-level BPE over a CLIP merges file (vocab 49408:
 ``encode`` / ``decode`` / fixed-context ``tokenize`` and a module-level
 default ``tokenizer`` singleton.
 
-The reference *ships* the 1.3 MB CLIP merges file as a data asset; this
-rebuild does not vendor it — pass ``bpe_path`` pointing at any CLIP-format
-merges file (plain or gzipped) to get the exact CLIP vocab. Without one, the
-tokenizer falls back to a pure byte-level vocab (518 symbols, no merges),
-which keeps every pipeline runnable (token ids just use a smaller range).
+Like the reference, this package vendors the public OpenAI CLIP merges file
+(``nuwa_tpu/data/bpe_simple_vocab_16e6.txt.gz``, Apache-licensed upstream
+data from openai/CLIP) and uses it by default, so the out-of-box vocab is the
+reference's 49408. Pass ``bpe_path`` to substitute any CLIP-format merges
+file (plain or gzipped), or ``bpe_path=False`` to skip merges entirely and
+get a pure byte-level vocab (514 symbols) — every pipeline stays runnable,
+token ids just use a smaller range.
 """
 from __future__ import annotations
 
@@ -73,8 +75,18 @@ except ImportError:  # ASCII fallback
     )
 
 
+def default_bpe_path():
+    """The vendored CLIP merges asset, or None if absent from the install."""
+    p = Path(__file__).parent / "data" / "bpe_simple_vocab_16e6.txt.gz"
+    return p if p.exists() else None
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path=None, special_tokens=("<|startoftext|>", "<|endoftext|>")):
+        if bpe_path is None:
+            bpe_path = default_bpe_path()
+        elif bpe_path is False:
+            bpe_path = None
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
 
@@ -185,5 +197,6 @@ class SimpleTokenizer:
         return out
 
 
-# module-level singleton (byte-level fallback vocab; pass bpe_path for CLIP's)
+# module-level singleton: CLIP vocab 49408 out of the box (vendored merges),
+# byte-level fallback only if the data asset is missing from the install
 tokenizer = SimpleTokenizer()

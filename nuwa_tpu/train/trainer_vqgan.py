@@ -247,6 +247,10 @@ class VQGanVAETrainer:
         self._key, rng = jax.random.split(self._key)
         self.state, gen_loss = self._gen_step(self.state, images, rng)
         accum_log(logs, {"loss": float(gen_loss)})
+        accum_log(
+            logs,
+            {"codebook_usage": float(self.vae.vq.codebook_usage(self.state["vq"]))},
+        )
 
         if self._discr_step is not None:
             images = jnp.asarray(next(self.dl))

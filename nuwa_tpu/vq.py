@@ -30,13 +30,20 @@ def l2norm(t, axis=-1, eps=1e-12):
 
 
 def _kmeans(key, data, num_clusters, iters=10):
-    """Tiny k-means for codebook init. data: (N, d) — N may be < clusters."""
+    """Tiny k-means for codebook init. data: (N, d) — N may be < clusters.
+
+    Assignment is nearest-centroid by squared Euclidean distance: argmax of
+    2·x·m − ‖m‖² (the ‖x‖² term is constant per point). For l2-normalized
+    data (cosine codebooks) this coincides with argmax dot-product; for
+    unnormalized data plain dot-product would skew toward large-norm
+    centroids.
+    """
     n = data.shape[0]
     idx = jax.random.randint(key, (num_clusters,), 0, n)
     means = data[idx]
 
     def step(_, means):
-        sim = data @ means.T  # (N, C)
+        sim = 2.0 * (data @ means.T) - jnp.sum(means * means, axis=-1)[None]  # (N, C)
         assign = jnp.argmax(sim, axis=-1)
         onehot = jax.nn.one_hot(assign, num_clusters, dtype=data.dtype)  # (N, C)
         counts = onehot.sum(0)
@@ -59,6 +66,25 @@ class VectorQuantizeEMA(Module):
     cosine_sim: bool = True
     eps: float = 1e-5
     orthogonal_reg_weight: float = 0.0
+    # Re-initialize codes whose EMA cluster size falls below this threshold
+    # from random batch samples (0 = off). Mirrors the upstream package's
+    # ``threshold_ema_dead_code`` reachable through the reference's vq_*
+    # kwarg routing (/root/reference/nuwa_pytorch/vqgan_vae.py:319,368-378).
+    threshold_ema_dead_code: float = 0.0
+
+    def __post_init__(self):
+        if self.orthogonal_reg_weight > 0:
+            import warnings
+
+            # Same quirk as the upstream package with a non-learnable
+            # codebook: the EMA codebook receives no gradients, so the
+            # orthogonal penalty only adds a constant to the loss.
+            warnings.warn(
+                "orthogonal_reg_weight > 0 has no training effect with the "
+                "EMA codebook (the penalty is computed from non-learnable "
+                "state); it is reported in the loss for parity only.",
+                stacklevel=2,
+            )
 
     @property
     def cdim(self):
@@ -100,6 +126,15 @@ class VectorQuantizeEMA(Module):
         if self.has_projection:
             return Dense(self.cdim, self.dim, use_bias=True)(p["project_out"], x)
         return x
+
+    def codebook_usage(self, state, threshold=None):
+        """Fraction of codebook entries with EMA cluster size above
+        ``threshold`` (defaults to ``threshold_ema_dead_code`` or eps) —
+        a cheap codebook-health metric for trainer logs."""
+        thr = threshold
+        if thr is None:
+            thr = self.threshold_ema_dead_code if self.threshold_ema_dead_code > 0 else self.eps
+        return jnp.mean((state["cluster_size"] > thr).astype(jnp.float32))
 
     def codebook(self, p, state):
         """Codebook in *decoder space* (project_out applied).
@@ -187,6 +222,26 @@ class VectorQuantizeEMA(Module):
             new_embed = embed_avg / jnp.maximum(smoothed[:, None], 1e-12)
             if self.cosine_sim:
                 new_embed = l2norm(new_embed)
+            if self.threshold_ema_dead_code > 0:
+                # Dead-code expiry: codes whose EMA usage dropped below the
+                # threshold are re-seeded from random batch vectors. Deadness
+                # is judged on the psum'd (global) cluster sizes; under SPMD
+                # pjit the batch itself is global too. Under shard_map/pmap
+                # each device re-seeds from its local shard — pass the same
+                # rng on every device and psum-replicated stats keep the mask
+                # identical, so states only differ in the re-seeded rows
+                # (re-sync via a collective if exact replication matters).
+                key = rng if rng is not None else jax.random.PRNGKey(0)
+                key = jax.random.fold_in(key, 1)
+                pick = jax.random.randint(
+                    key, (self.codebook_size,), 0, zq_space.shape[0]
+                )
+                seeds = jnp.take(zq_space, pick, axis=0)
+                dead = cluster_size < self.threshold_ema_dead_code
+                thr = self.threshold_ema_dead_code
+                new_embed = jnp.where(dead[:, None], seeds, new_embed)
+                embed_avg = jnp.where(dead[:, None], seeds * thr, embed_avg)
+                cluster_size = jnp.where(dead, thr, cluster_size)
             new_state = {
                 "embed": jax.lax.stop_gradient(new_embed),
                 "embed_avg": jax.lax.stop_gradient(embed_avg),

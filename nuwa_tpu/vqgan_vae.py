@@ -286,6 +286,7 @@ class VQGanVAE(Module):
     vq_kmeans_init: bool = True
     vq_use_cosine_sim: bool = True
     vq_orthogonal_reg_weight: float = 0.0
+    vq_threshold_ema_dead_code: float = 0.0
     use_attn: bool | Tuple[bool, ...] = True
     attn_dim_head: int = 64
     attn_heads: int = 8
@@ -348,6 +349,7 @@ class VQGanVAE(Module):
             kmeans_init=self.vq_kmeans_init,
             cosine_sim=self.vq_use_cosine_sim,
             orthogonal_reg_weight=self.vq_orthogonal_reg_weight,
+            threshold_ema_dead_code=self.vq_threshold_ema_dead_code,
         )
 
     @property

@@ -123,6 +123,39 @@ def test_tokenizer_roundtrip():
     assert tok.tokenize(["x " * 200], context_length=8, truncate_text=True).shape == (1, 8)
 
 
+def test_tokenizer_clip_vocab_golden():
+    """Out-of-box tokenizer must be CLIP-equivalent: vocab 49408 and exact
+    token ids (goldens extracted from the reference's SimpleTokenizer, which
+    is a verbatim copy of openai/CLIP — /root/reference/nuwa_pytorch/
+    tokenizer.py:16-17,63)."""
+    from nuwa_tpu.tokenizer import SimpleTokenizer, default_bpe_path
+
+    assert default_bpe_path() is not None, "vendored CLIP merges asset missing"
+    tok = SimpleTokenizer()
+    assert tok.vocab_size == 49408
+    goldens = {
+        "hello world": [3306, 1002],
+        "a video of a dog running in the park": [320, 1455, 539, 320, 1929, 2761, 530, 518, 1452],
+        "NUWA generates videos!": [1156, 2663, 33938, 6081, 256],
+        "the quick brown fox jumps over 12 lazy dogs...": [518, 3712, 2866, 3240, 18911, 962, 272, 273, 10753, 3255, 678],
+    }
+    for text, ids in goldens.items():
+        assert tok.encode(text) == ids, text
+    assert tok.decode(tok.encode("a video of a dog")) == "a video of a dog"
+    # CLIP special ids
+    assert tok.encoder["<|startoftext|>"] == 49406
+    assert tok.encoder["<|endoftext|>"] == 49407
+
+
+def test_tokenizer_byte_fallback():
+    from nuwa_tpu.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer(bpe_path=False)
+    assert tok.vocab_size == 514
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+
+
 def test_tokenizer_with_merges(tmp_path):
     from nuwa_tpu.tokenizer import SimpleTokenizer
 

@@ -77,6 +77,48 @@ def test_vq_quantized_is_nearest_code():
     np.testing.assert_allclose(np.asarray(q), embed[np.asarray(idx)], atol=1e-6)
 
 
+def test_vq_dead_code_expiry():
+    vq = VectorQuantizeEMA(
+        dim=2, codebook_size=4, kmeans_init=False, cosine_sim=False,
+        decay=0.1, threshold_ema_dead_code=0.5,
+    )
+    p = vq.init(KEY)
+    s = vq.init_state(jax.random.PRNGKey(3))
+    # park two codes far away so the batch never selects them
+    embed = np.asarray(s["embed"]).copy()
+    embed[2:] = 1e3
+    s = dict(s, embed=jnp.asarray(embed), embed_avg=jnp.asarray(embed))
+    x = jnp.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-0.1, 0.9]])
+    for i in range(5):
+        _, _, _, s = vq(p, s, x, update=True, rng=jax.random.PRNGKey(10 + i))
+    # dead codes were re-seeded from batch samples (near the data, not 1e3)
+    new_embed = np.asarray(s["embed"])
+    assert np.abs(new_embed).max() < 10.0, new_embed
+    # and their rows coincide with actual batch vectors
+    xs = np.asarray(x)
+    for row in new_embed:
+        assert np.min(np.linalg.norm(xs - row, axis=-1)) < 2.0
+
+
+def test_vq_dead_code_expiry_off_keeps_unused_codes():
+    vq = VectorQuantizeEMA(
+        dim=2, codebook_size=4, kmeans_init=False, cosine_sim=False, decay=0.1
+    )
+    p = vq.init(KEY)
+    s = vq.init_state(jax.random.PRNGKey(3))
+    embed = np.asarray(s["embed"]).copy()
+    embed[2:] = 1e3
+    s = dict(s, embed=jnp.asarray(embed), embed_avg=jnp.asarray(embed))
+    x = jnp.array([[1.0, 0.0], [0.9, 0.1]])
+    for i in range(5):
+        _, _, _, s = vq(p, s, x, update=True, rng=jax.random.PRNGKey(10 + i))
+    # without expiry the far-away codes persist (EMA never touches them
+    # beyond Laplace smoothing of near-zero counts)
+    assert np.abs(np.asarray(s["embed"])[2:]).max() > 100.0
+    usage = float(vq.codebook_usage(s))
+    assert usage <= 0.5
+
+
 def test_vq_ema_moves_codes_toward_data():
     vq = VectorQuantizeEMA(
         dim=2, codebook_size=2, kmeans_init=False, cosine_sim=False, decay=0.5
