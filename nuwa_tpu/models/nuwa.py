@@ -207,7 +207,8 @@ class NUWA(Module):
     # ---- decoder core -----------------------------------------------------
 
     def _decode_logits(
-        self, p, frame_indices_input, text_embeds, text_mask, *, key=None, train=False
+        self, p, frame_indices_input, text_embeds, text_mask, *, key=None,
+        train=False, cp_mesh=None,
     ):
         """frame_indices_input: (b, n) already teacher-force shifted."""
         b, n = frame_indices_input.shape
@@ -224,6 +225,7 @@ class NUWA(Module):
             context=text_embeds,
             context_mask=text_mask,
             key=key,
+            cp_mesh=cp_mesh,
         )
         return jnp.dot(out, p["to_logits"])
 
@@ -239,6 +241,7 @@ class NUWA(Module):
         cond_dropout_prob=0.2,
         key=None,
         train=False,
+        cp_mesh=None,
     ):
         b = text.shape[0]
         text_mask = text != 0
@@ -271,7 +274,7 @@ class NUWA(Module):
             text_mask = text_mask & ~uncond[:, None]
 
         logits = self._decode_logits(
-            p, inp, text_embeds, text_mask, key=dkey, train=train
+            p, inp, text_embeds, text_mask, key=dkey, train=train, cp_mesh=cp_mesh
         )
         if not return_loss:
             return logits

@@ -485,7 +485,13 @@ class Sparse3DNA(Module):
         table = self.bias_module(p["rel_pos_bias"])  # (Kn, heads)
         return table.T  # (heads, Kn)
 
-    def __call__(self, p, x, *, key=None, **_):
+    def __call__(self, p, x, *, key=None, cp_mesh=None, cp_axis="data", **_):
+        if cp_mesh is not None:
+            # context parallelism: frame-axis sharding with halo exchange of
+            # the (Kf-1)*dilation lookback frames over ICI (SURVEY §2.8)
+            from .parallel.context_parallel import context_parallel_sparse_3dna
+
+            return context_parallel_sparse_3dna(self, p, x, cp_mesh, axis=cp_axis)
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
         f_max, fh, fw = self.video_shape

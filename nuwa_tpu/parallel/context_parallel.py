@@ -25,17 +25,23 @@ from ..ops.attention import merge_heads, split_heads
 def context_parallel_sparse_3dna(
     mod: Sparse3DNA, p, x, mesh: Mesh, axis: str = "data"
 ):
-    """x: (b, 1 + F*HW, dim) replicated-batch input whose *video tokens* get
+    """x: (b, 1 + t, dim) replicated-batch input whose *video tokens* get
     sharded over ``axis`` along the frame dimension. Returns the same output
-    as ``mod(p, x)`` (full frames required; causal mode)."""
+    as ``mod(p, x)`` (causal mode). Partial trailing frames (e.g. the
+    teacher-forced shift, t = F*HW - 1) are zero-padded to a full frame and
+    phantom positions are masked out of every neighborhood."""
     assert mod.causal, "context parallelism implemented for the causal decoder"
     nd = mesh.shape[axis]
     F, fh, fw = mod.video_shape
     HW = fh * fw
     b, n, dim = x.shape
     t = n - 1
-    assert t % HW == 0, "context parallelism requires full frames"
-    F_cur = t // HW
+    pad_t = (-t) % HW
+    if pad_t:
+        x = jnp.concatenate(
+            [x, jnp.zeros((b, pad_t, dim), x.dtype)], axis=1
+        )
+    F_cur = (t + pad_t) // HW
     assert F_cur % nd == 0, f"{F_cur} frames not divisible by {nd} shards"
     Floc = F_cur // nd
     kf, kh, kw = mod.kernel
@@ -56,19 +62,18 @@ def context_parallel_sparse_3dna(
     valid_local = jnp.asarray(valid_np[q_rows])
     # global-frame index of each neighbor, relative to the shard start
     nb_frame_rel = jnp.asarray(idx_np[q_rows] // HW - pad_f)  # may be negative
+    nb_within = jnp.asarray(idx_np[q_rows] % HW)
 
     x_bos = x[:, :1]
     x_video = x[:, 1:]
-
-    rel_bias = None
-    if mod.rel_pos_bias:
-        rel_bias = mod.bias_module(p["rel_pos_bias"]).T  # (h, Kn)
 
     pspec = jax.tree.map(lambda _: P(), p)
 
     def local_fn(p, xv, xb):
         # xv: (b, Floc*HW, dim) local shard; xb: (b, 1, dim) replicated
         d_idx = jax.lax.axis_index(axis)
+        # (h, Kn) — computed in-scope: shard_map forbids closed-over tracers
+        rel_bias = mod.bias_module(p["rel_pos_bias"]).T if mod.rel_pos_bias else None
 
         q = Dense(mod.dim, mod.inner_dim)(p["to_q"], xv)
         kv = Dense(mod.dim, mod.inner_dim * 2)(p["to_kv"], xv)
@@ -99,9 +104,12 @@ def context_parallel_sparse_3dna(
         k_full = jnp.concatenate(halo_k + [k], axis=2)
         v_full = jnp.concatenate(halo_v + [v], axis=2)
 
-        # validity: static in-bounds AND neighbor's global frame >= 0
+        # validity: static in-bounds AND neighbor's global frame >= 0 AND
+        # the neighbor is a real (non-phantom-padded) token
         global_nb_frame = nb_frame_rel + d_idx * Floc
         valid = valid_local & (global_nb_frame >= 0)
+        if pad_t:
+            valid = valid & (global_nb_frame * HW + nb_within < t)
 
         k_nb = jnp.take(k_full, idx_local, axis=2)
         v_nb = jnp.take(v_full, idx_local, axis=2)
@@ -121,4 +129,6 @@ def context_parallel_sparse_3dna(
     kv_bos = Dense(mod.dim, mod.inner_dim * 2)(p["to_kv"], x_bos)
     _, v_bos = jnp.split(kv_bos, 2, axis=-1)
     out = jnp.concatenate([v_bos, out_video], axis=1)
+    if pad_t:
+        out = out[:, : 1 + t]
     return Dense(mod.inner_dim, mod.dim, use_bias=True)(p["to_out"], out)

@@ -49,6 +49,8 @@ class NUWATrainer:
         seed=0,
         resume=True,
         tokenizer=None,
+        mesh=None,
+        context_parallel=False,
     ):
         self.nuwa = nuwa
         self.num_train_steps = num_train_steps
@@ -70,23 +72,49 @@ class NUWATrainer:
             grad_accum_every,
         )
 
+        # ---- SPMD: DP over 'data' (+ TP over 'model' via the param rules)
+        self.mesh = mesh
+        self.context_parallel = context_parallel
+        if context_parallel:
+            assert mesh is not None, "context_parallel requires a mesh"
+        if mesh is not None and not context_parallel:
+            dp = mesh.shape.get("data", 1)
+            assert batch_size % dp == 0, (
+                f"batch_size {batch_size} not divisible by data axis {dp}"
+            )
+
         self.tx = get_optimizer(
             lr=lr, wd=wd, params=params, max_grad_norm=max_grad_norm
         )
         # copy caller-provided params: the jitted step donates the train
         # state, which would otherwise delete the caller's arrays
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if mesh is not None:
+            from ..parallel import replicated, shard_params
+
+            params = shard_params(params, mesh)
+            key0 = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
+            step0 = jax.device_put(jnp.asarray(0, jnp.int32), replicated(mesh))
+        else:
+            key0 = jax.random.PRNGKey(seed)
+            step0 = jnp.asarray(0, jnp.int32)
         self.state = {
             "params": params,
-            "opt": self.tx.init(params),
-            "step": jnp.asarray(0, jnp.int32),
-            "key": jax.random.PRNGKey(seed),
+            "opt": self.tx.init(params),  # zeros_like inherits param shardings
+            "step": step0,
+            "key": key0,
         }
 
         if resume:
             restored = restore_latest(self.results_folder, "nuwa_trainstate", self.state)
             if restored is not None:
                 step, self.state = restored
+                if mesh is not None:
+                    from ..parallel import shard_params
+
+                    # re-commit param shardings; restored opt-state leaves
+                    # stay uncommitted and jit places them to match usage
+                    self.state["params"] = shard_params(self.state["params"], mesh)
                 print(f"resumed from checkpoint at step {step}")
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
@@ -94,11 +122,12 @@ class NUWATrainer:
     def _make_train_step(self):
         nuwa, tx, accum = self.nuwa, self.tx, self.grad_accum_every
         cdp = self.cond_dropout_prob
+        cp_mesh = self.mesh if self.context_parallel else None
 
         def loss_fn(params, text, video, key):
             return nuwa.forward(
                 params, text=text, video=video, return_loss=True,
-                cond_dropout_prob=cdp, key=key, train=True,
+                cond_dropout_prob=cdp, key=key, train=True, cp_mesh=cp_mesh,
             )
 
         def step(state, texts, videos):
@@ -129,14 +158,29 @@ class NUWATrainer:
 
         return step
 
+    def _place(self, arr):
+        """(accum, batch, ...) window → device; batch axis sharded over
+        'data' when a mesh is configured (single host→device transfer)."""
+        arr = np.asarray(arr)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # under context parallelism the 'data' axis carries the *frame*
+        # sharding inside the attention shard_map; batch stays replicated
+        if self.context_parallel:
+            spec = P()
+        else:
+            spec = P(None, "data", *([None] * (arr.ndim - 2)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     def train_step(self):
         steps = int(self.state["step"])
         logs = {}
 
         texts, videos = next(self.dl)
-        self.state, loss = self._train_step(
-            self.state, jnp.asarray(texts), jnp.asarray(videos)
-        )
+        texts, videos = self._place(texts), self._place(videos)
+        self.state, loss = self._train_step(self.state, texts, videos)
         accum_log(logs, {"loss": float(loss)})
         print(f"{steps} loss: {logs['loss']}")
 

@@ -64,8 +64,15 @@ class VQGanVAETrainer:
         apply_grad_penalty_every=4,
         seed=0,
         resume=True,
+        mesh=None,
     ):
         assert isinstance(vae, VQGanVAE)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape.get("data", 1)
+            assert batch_size % dp == 0, (
+                f"batch_size {batch_size} not divisible by data axis {dp}"
+            )
         self.vae = vae
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
@@ -127,6 +134,13 @@ class VQGanVAETrainer:
             else None
         )
 
+        if mesh is not None:
+            from ..parallel import replicated, shard_params
+
+            params = shard_params(params, mesh)
+            vq_state = jax.device_put(vq_state, replicated(mesh))
+            gen_params, discr_params = _split_params(params)
+
         self.state = {
             "params": params,
             "vq": vq_state,
@@ -140,6 +154,10 @@ class VQGanVAETrainer:
             restored = restore_latest(self.results_folder, "vae_trainstate", self.state)
             if restored is not None:
                 step, self.state = restored
+                if mesh is not None:
+                    from ..parallel import shard_params
+
+                    self.state["params"] = shard_params(self.state["params"], mesh)
                 print(f"resumed from checkpoint at step {step}")
 
         self._gen_step = jax.jit(self._make_gen_step(), donate_argnums=(0,))
@@ -238,12 +256,23 @@ class VQGanVAETrainer:
 
     # ------------------------------------------------------------------
 
+    def _place(self, arr):
+        """(accum, batch, c, h, w) window → device; batch axis sharded over
+        'data' when a mesh is configured."""
+        arr = np.asarray(arr)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "data", *([None] * (arr.ndim - 2)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     def train_step(self):
         steps = int(self.state["step"])
         apply_gp = (steps % self.apply_grad_penalty_every) == 0
         logs = {}
 
-        images = jnp.asarray(next(self.dl))
+        images = self._place(next(self.dl))
         self._key, rng = jax.random.split(self._key)
         self.state, gen_loss = self._gen_step(self.state, images, rng)
         accum_log(logs, {"loss": float(gen_loss)})
@@ -253,7 +282,7 @@ class VQGanVAETrainer:
         )
 
         if self._discr_step is not None:
-            images = jnp.asarray(next(self.dl))
+            images = self._place(next(self.dl))
             self.state, discr_loss = self._discr_step(self.state, images, apply_gp)
             accum_log(logs, {"discr_loss": float(discr_loss)})
             print(f"{steps}: vae loss: {logs['loss']} - discr loss: {logs['discr_loss']}")

@@ -308,9 +308,13 @@ class Transformer(Module):
             "norm": StableLayerNorm(self.dim).init(keys[-1]),
         }
 
-    def _kwargs_for(self, kind, mask, context, context_mask, rotary_pos_emb):
+    def _kwargs_for(self, kind, mask, context, context_mask, rotary_pos_emb,
+                    cp_mesh=None, cp_axis="data"):
         if kind == "self":
-            return dict(mask=mask, rotary_pos_emb=rotary_pos_emb)
+            kw = dict(mask=mask, rotary_pos_emb=rotary_pos_emb)
+            if cp_mesh is not None and self.sparse_3dna_attn:
+                kw.update(cp_mesh=cp_mesh, cp_axis=cp_axis)
+            return kw
         if kind == "cross":
             return dict(context=context, context_mask=context_mask, mask=mask)
         return {}
@@ -325,6 +329,8 @@ class Transformer(Module):
         context_mask=None,
         rotary_pos_emb=None,
         key=None,
+        cp_mesh=None,
+        cp_axis="data",
         **_,
     ):
         menu = self.layer_menu
@@ -332,7 +338,9 @@ class Transformer(Module):
             jax.random.split(key, len(menu)) if key is not None else [None] * len(menu)
         )
         for (kind, module), lp, lk in zip(menu, p["layers"], keys):
-            kw = self._kwargs_for(kind, mask, context, context_mask, rotary_pos_emb)
+            kw = self._kwargs_for(
+                kind, mask, context, context_mask, rotary_pos_emb, cp_mesh, cp_axis
+            )
             if self.remat:
                 fn = jax.checkpoint(
                     lambda lp, x, lk, _m=module, _kw=kw: _m(lp, x, key=lk, **_kw)
@@ -397,8 +405,13 @@ class ReversibleTransformer(Transformer):
         rotary_pos_emb=None,
         key=None,
         reverse=True,
+        cp_mesh=None,
         **_,
     ):
+        assert cp_mesh is None, (
+            "context parallelism is supported on the non-reversible "
+            "Transformer (a mesh can't ride the reversible ctx routing)"
+        )
         couples = self._couples()
         ctx = {
             "mask": mask,

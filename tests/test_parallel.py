@@ -132,6 +132,171 @@ def test_generate_under_mesh():
     assert idx.shape == (1, 8)
 
 
+class _ToyVideoText:
+    def __init__(self, video_tokens, vocab, n=32):
+        self.video_tokens, self.vocab, self.n = video_tokens, vocab, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        text = rng.integers(1, 30, size=4).astype(np.int64)
+        video = rng.integers(0, self.vocab, size=self.video_tokens).astype(np.int64)
+        return text, video
+
+
+def test_nuwa_trainer_with_mesh_matches_unmeshed(tmp_path):
+    """End-to-end NUWA training through the public trainer on a (4,2) mesh
+    must track the single-device trainer (same seed, same data order)."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = tiny_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=2)
+
+    def mk(folder, mesh_arg):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=2 * 4, vocab=16),
+            num_train_steps=3, batch_size=4, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=11, resume=False, mesh=mesh_arg,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_single = mk(tmp_path / "single", None)
+    losses_single = []
+    t_single.train(log_fn=lambda logs: losses_single.append(logs["loss"]))
+
+    t_mesh = mk(tmp_path / "mesh", mesh)
+    losses_mesh = []
+    t_mesh.train(log_fn=lambda logs: losses_mesh.append(logs["loss"]))
+
+    np.testing.assert_allclose(losses_mesh, losses_single, rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(t_single.state["params"]),
+        jax.tree.leaves(t_mesh.state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-4)
+
+
+def _cp_model():
+    """Sparse-3DNA decoder NUWA sized so frames (8) shard over data=4."""
+    return NUWA(
+        dim=16,
+        image_size=2,
+        num_image_tokens=16,
+        max_video_frames=8,
+        text_num_tokens=32,
+        text_enc_depth=1,
+        text_enc_dim_head=8,
+        text_enc_heads=2,
+        dec_depth=2,
+        dec_dim_head=8,
+        dec_heads=2,
+        sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=(1, 2),
+        sparse_3dna_rel_pos_bias=True,
+        shift_video_tokens=True,
+    )
+
+
+def test_full_model_forward_under_context_parallelism():
+    """The whole NUWA decoder forward (every 3DNA layer CP-sharded over
+    frames with halo exchange) must match the plain forward."""
+    model = _cp_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    text = jax.random.randint(KEY, (2, 4), 1, 32)
+    video = jax.random.randint(jax.random.PRNGKey(1), (2, 8 * 4), 0, 16)
+
+    ref = model.forward(params, text=text, video=video, return_loss=False)
+    out = model.forward(
+        params, text=text, video=video, return_loss=False, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+    loss_ref = model.forward(params, text=text, video=video, return_loss=True)
+    loss_cp = model.forward(
+        params, text=text, video=video, return_loss=True, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+
+
+def test_nuwa_trainer_context_parallel(tmp_path):
+    """One train step through the public trainer with context_parallel=True
+    (frame-sharded attention) must match the plain trainer."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = _cp_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+
+    def mk(folder, **kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=8 * 4, vocab=16),
+            num_train_steps=2, batch_size=2, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=5, resume=False, **kw,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_plain = mk(tmp_path / "plain")
+    losses_plain = []
+    t_plain.train(log_fn=lambda logs: losses_plain.append(logs["loss"]))
+
+    t_cp = mk(tmp_path / "cp", mesh=mesh, context_parallel=True)
+    losses_cp = []
+    t_cp.train(log_fn=lambda logs: losses_cp.append(logs["loss"]))
+
+    np.testing.assert_allclose(losses_cp, losses_plain, rtol=2e-4)
+
+
+def test_vqgan_trainer_with_mesh(tmp_path):
+    """VQGanVAETrainer on a data mesh: runs, loss finite, matches unmeshed."""
+    from nuwa_tpu.train.trainer_vqgan import VQGanVAETrainer
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    class Imgs:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return (
+                np.random.default_rng(i).uniform(size=(3, 8, 8)).astype(np.float32)
+            )
+
+    vae = VQGanVAE(
+        dim=8, image_size=8, num_layers=1, vq_codebook_size=16,
+        vq_codebook_dim=8, resnet_groups=4, use_vgg_and_gan=True,
+        perceptual="none", vq_kmeans_init=False, use_attn=False,
+        num_resnet_blocks=0,
+    )
+    mesh = make_mesh(data=4, model=2)
+
+    def mk(folder, mesh_arg):
+        return VQGanVAETrainer(
+            vae, num_train_steps=2, lr=1e-3, batch_size=4, grad_accum_every=2,
+            dataset=Imgs(), valid_frac=0.0, results_folder=str(folder),
+            resume=False, save_results_every=10**9, save_model_every=10**9,
+            ema_update_after_step=0, ema_update_every=1, seed=3,
+            mesh=mesh_arg,
+        )
+
+    losses_single, losses_mesh = [], []
+    mk(tmp_path / "single", None).train(
+        log_fn=lambda logs: losses_single.append((logs["loss"], logs["discr_loss"]))
+    )
+    mk(tmp_path / "mesh", mesh).train(
+        log_fn=lambda logs: losses_mesh.append((logs["loss"], logs["discr_loss"]))
+    )
+    np.testing.assert_allclose(losses_mesh, losses_single, rtol=5e-4, atol=1e-5)
+
+
 def test_context_parallel_sparse3dna_matches_single_device():
     """Frame-axis CP with halo exchange must equal the plain layer."""
     from nuwa_tpu.nda import Sparse3DNA
