@@ -227,7 +227,9 @@ class NUWA(Module):
             key=key,
             cp_mesh=cp_mesh,
         )
-        return jnp.dot(out, p["to_logits"])
+        # logits matmul in the compute dtype (vocab dim is the big one);
+        # cross_entropy upcasts to fp32 before the softmax
+        return jnp.dot(out, p["to_logits"].astype(out.dtype))
 
     # ---- training forward -------------------------------------------------
 

@@ -213,7 +213,7 @@ class NUWASketch(Module):
             p["video_transformer"], emb, context=sketch_embeds,
             context_mask=context_mask, key=key,
         )
-        return jnp.dot(out, p["to_logits"])
+        return jnp.dot(out, p["to_logits"].astype(out.dtype))
 
     # ---- training forward -------------------------------------------------
 

@@ -220,7 +220,10 @@ class NUWAVideoAudio(Module):
             p["video_audio_transformer"], v, a,
             context=text_embeds, context_mask=text_mask, key=key,
         )
-        return jnp.dot(v, p["to_video_logits"]), jnp.dot(a, p["to_audio_logits"])
+        return (
+            jnp.dot(v, p["to_video_logits"].astype(v.dtype)),
+            jnp.dot(a, p["to_audio_logits"].astype(a.dtype)),
+        )
 
     # ---- training forward -------------------------------------------------
 
@@ -336,7 +339,7 @@ class NUWAVideoAudio(Module):
 
         # prime the audio tower with its bos (position 0)
         y0, caches = dec.step_audio(ptr, caches, audio_input(0, jnp.zeros((b,), jnp.int32)), jnp.asarray(0))
-        pending0 = cfg_mix(jnp.dot(y0, p["to_audio_logits"]))
+        pending0 = cfg_mix(jnp.dot(y0, p["to_audio_logits"].astype(y0.dtype)))
 
         # static schedule over token steps
         sched, vps, aps = [], [], []
@@ -359,7 +362,7 @@ class NUWAVideoAudio(Module):
             )
             x_i = widen(jnp.where(vp == 0, bos, emb))
             y, caches = dec.step_video(ptr, caches, x_i, vp)
-            logits = cfg_mix(jnp.dot(y, p["to_video_logits"]))
+            logits = cfg_mix(jnp.dot(y, p["to_video_logits"].astype(y.dtype)))
             filtered = top_k_filter(logits, thres=filter_thres)
             sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
             vbuf = vbuf.at[:, vp].set(sample)
@@ -373,7 +376,7 @@ class NUWAVideoAudio(Module):
             abuf = abuf.at[:, ap].set(sample)
             # peek-step the next audio input position (embedding of `sample`)
             y, caches = dec.step_audio(ptr, caches, audio_input(ap + 1, sample), ap + 1)
-            pending = cfg_mix(jnp.dot(y, p["to_audio_logits"]))
+            pending = cfg_mix(jnp.dot(y, p["to_audio_logits"].astype(y.dtype)))
             return caches, pending, prev_v, vbuf, abuf
 
         def step(carry, i):

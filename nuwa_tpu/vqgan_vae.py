@@ -295,8 +295,15 @@ class VQGanVAE(Module):
     first_conv_kernel_size: int = 5
     use_vgg_and_gan: bool = True
     perceptual: str = "vgg"  # "vgg" | "none"
+    # mixed precision: conv/attention activations run in this dtype (params
+    # and optimizer stay fp32; norms/VQ/losses stay fp32 internally)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16"
 
     # ---- derived config ---------------------------------------------------
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     @property
     def mults(self):
@@ -412,6 +419,8 @@ class VQGanVAE(Module):
     # ---- encode / decode (NHWC internal) -----------------------------------
 
     def _encode_fmap(self, p, x):
+        if self._dtype is not None:
+            x = x.astype(self._dtype)
         x = Conv2d(self.channels, self.dim,
                    (self.first_conv_kernel_size, self.first_conv_kernel_size))(
             p["enc"]["first"], x)
@@ -427,6 +436,8 @@ class VQGanVAE(Module):
         return x
 
     def _decode_fmap(self, p, x):
+        if self._dtype is not None:
+            x = x.astype(self._dtype)
         dims = self.dims
         for i in reversed(range(self.num_layers)):
             din, dout = dims[i], dims[i + 1]
@@ -479,8 +490,10 @@ class VQGanVAE(Module):
         """img: (b, c, h, w) -> (fmap (b,c',h',w'), indices (b,h'w'), commit, state)."""
         state = self._norm_state(state)
         x = self._encode_fmap(p, self._to_nhwc(img))
+        # the quantizer (EMA stats, distances) always runs fp32
         quant, indices, commit, vq_state = self.vq(
-            p["vq"], state["vq"], x, update=update_vq, rng=rng, axis_name=axis_name
+            p["vq"], state["vq"], x.astype(jnp.float32), update=update_vq,
+            rng=rng, axis_name=axis_name,
         )
         b, hh, ww, _ = quant.shape
         return (
@@ -491,8 +504,9 @@ class VQGanVAE(Module):
         )
 
     def decode(self, p, fmap):
-        """fmap: (b, c', h', w') -> (b, c, h, w)."""
-        return self._to_nchw(self._decode_fmap(p, self._to_nhwc(fmap)))
+        """fmap: (b, c', h', w') -> (b, c, h, w) fp32 pixels."""
+        out = self._decode_fmap(p, self._to_nhwc(fmap)).astype(jnp.float32)
+        return self._to_nchw(out)
 
     def codebook(self, p, state):
         return self.vq.codebook(p["vq"], self._norm_state(state)["vq"])
@@ -566,13 +580,16 @@ class VQGanVAE(Module):
         x = self._to_nhwc(img)
         fmap_enc = self._encode_fmap(p, x)
         quant, indices, commit_loss, vq_state = self.vq(
-            p["vq"], state["vq"], fmap_enc, update=update_vq, rng=rng,
-            axis_name=axis_name,
+            p["vq"], state["vq"], fmap_enc.astype(jnp.float32), update=update_vq,
+            rng=rng, axis_name=axis_name,
         )
         new_state = {"vq": vq_state}
 
+        if self._dtype is not None:
+            quant = quant.astype(self._dtype)
         trunk = self._decode_trunk(p, quant)
-        recon_nhwc = self._decode_head(p["dec"]["last"], trunk)
+        # reconstruction and every loss downstream stay fp32
+        recon_nhwc = self._decode_head(p["dec"]["last"], trunk).astype(jnp.float32)
         recon = self._to_nchw(recon_nhwc)
 
         if not return_loss and not return_discr_loss:
@@ -580,16 +597,22 @@ class VQGanVAE(Module):
 
         assert return_loss ^ return_discr_loss
 
+        def discr_logits(dp, inp):
+            # discriminator convs in compute dtype, logits back to fp32
+            if self._dtype is not None:
+                inp = inp.astype(self._dtype)
+            return self.discriminator(dp, inp).astype(jnp.float32)
+
         if return_discr_loss:
             assert "discr" in p, "discriminator must exist to train it"
-            discr = self.discriminator
             fake = jax.lax.stop_gradient(recon_nhwc)
-            fake_logits = discr(p["discr"], fake)
-            real_logits = discr(p["discr"], x)
+            fake_logits = discr_logits(p["discr"], fake)
+            real_logits = discr_logits(p["discr"], x)
             loss_fn = hinge_discr_loss if self.use_hinge_loss else bce_discr_loss
             loss = loss_fn(fake_logits, real_logits)
             if apply_grad_penalty:
-                gp = gradient_penalty(x, lambda im: discr(p["discr"], im))
+                # gradient penalty stays full fp32 (double-backward precision)
+                gp = gradient_penalty(x, lambda im: self.discriminator(p["discr"], im))
                 loss = loss + gp
             if return_recons:
                 return loss, recon
@@ -605,9 +628,8 @@ class VQGanVAE(Module):
 
         perceptual_loss = self._perceptual_loss(p, x, recon_nhwc)
 
-        discr = self.discriminator
         gen_loss_fn = hinge_gen_loss if self.use_hinge_loss else bce_gen_loss
-        gen_loss = gen_loss_fn(discr(p["discr"], recon_nhwc))
+        gen_loss = gen_loss_fn(discr_logits(p["discr"], recon_nhwc))
 
         # adaptive weight: ‖∂perceptual/∂w_last‖ / ‖∂gen/∂w_last‖ clamped 1e4
         # (reference :527-543) — grads w.r.t. the final conv only, reusing the
@@ -616,12 +638,12 @@ class VQGanVAE(Module):
         x_sg = jax.lax.stop_gradient(x)
 
         def head_perceptual(w_last):
-            r = self._decode_head(w_last, trunk_sg)
+            r = self._decode_head(w_last, trunk_sg).astype(jnp.float32)
             return self._perceptual_loss(p, x_sg, r)
 
         def head_gen(w_last):
-            r = self._decode_head(w_last, trunk_sg)
-            return gen_loss_fn(discr(p["discr"], r))
+            r = self._decode_head(w_last, trunk_sg).astype(jnp.float32)
+            return gen_loss_fn(discr_logits(p["discr"], r))
 
         w_last = jax.lax.stop_gradient(p["dec"]["last"])
         g_perc = jax.grad(head_perceptual)(w_last)["w"]

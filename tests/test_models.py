@@ -69,6 +69,32 @@ def test_nuwa_forward_loss_and_logits():
     assert np.isfinite(float(loss))
 
 
+def test_nuwa_bf16_training_loss_parity():
+    """compute_dtype='bfloat16' training forward/backward must track fp32
+    (fp32 master params, bf16 activations/matmuls, fp32 softmax/CE)."""
+    vae, vp, vs = make_vae()
+    m32 = tiny_nuwa(vae, dec_depth=2, sparse_3dna_kernel_size=3)
+    m16 = tiny_nuwa(
+        vae, dec_depth=2, sparse_3dna_kernel_size=3, compute_dtype="bfloat16"
+    )
+    p = m32.init(KEY, vae_params=vp, vae_state=vs)
+    text = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]])
+    idx = jax.random.randint(KEY, (2, 2 * m32.tokens_per_frame), 0, 16)
+
+    loss32 = m32.forward(p, text=text, video=idx, return_loss=True)
+    loss16 = m16.forward(p, text=text, video=idx, return_loss=True)
+    assert loss16.dtype == jnp.float32
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=3e-2)
+
+    def f(p):
+        return m16.forward(p, text=text, video=idx, return_loss=True)
+
+    grads = jax.grad(f)(p)
+    g_leaves = [g for g in jax.tree.leaves(grads)]
+    assert all(g.dtype == jnp.float32 for g in g_leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in g_leaves)
+
+
 def test_nuwa_forward_accepts_indices():
     vae, vp, vs = make_vae()
     model = tiny_nuwa(vae)

@@ -271,6 +271,42 @@ def test_vae_with_attn_layers():
     assert vae.forward(p, s, img).shape == img.shape
 
 
+def test_vae_bf16_compute_dtype_loss_parity():
+    """bf16 activations (fp32 params/VQ/losses) must track the fp32 loss."""
+    kw = dict(
+        dim=8, image_size=16, num_layers=2, vq_codebook_size=16,
+        vq_codebook_dim=8, resnet_groups=4, use_vgg_and_gan=True,
+        perceptual="none", vq_kmeans_init=False, use_attn=True,
+        attn_dim_head=4, attn_heads=2, num_resnet_blocks=1,
+    )
+    vae32 = VQGanVAE(**kw)
+    vae16 = VQGanVAE(**kw, compute_dtype="bfloat16")
+    p = vae32.init(KEY)
+    s = vae32.init_state(KEY)
+    img = jax.random.uniform(KEY, (2, 3, 16, 16))
+
+    loss32, _ = vae32.forward(p, s, img, return_loss=True)
+    loss16, _ = vae16.forward(p, s, img, return_loss=True)
+    assert loss16.dtype == jnp.float32
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=5e-2)
+
+    d32 = vae32.forward(p, s, img, return_discr_loss=True, apply_grad_penalty=True)
+    d16 = vae16.forward(p, s, img, return_discr_loss=True, apply_grad_penalty=True)
+    np.testing.assert_allclose(float(d16), float(d32), rtol=5e-2)
+
+    # gradients exist and stay fp32 (mixed precision: fp32 master params)
+    def gen_loss(p):
+        loss, _ = vae16.forward(p, s, img, return_loss=True)
+        return loss
+
+    grads = jax.grad(gen_loss)(p)
+    for leaf in jax.tree.leaves(grads):
+        assert leaf.dtype == jnp.float32
+    # reconstruction path returns fp32 pixels
+    recon = vae16.forward(p, s, img)
+    assert recon.dtype == jnp.float32
+
+
 def test_eval_params_strips_gan():
     vae = tiny_vae(use_vgg_and_gan=True, perceptual="none")
     p = vae.init(KEY)
