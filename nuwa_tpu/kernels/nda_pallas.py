@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for Sparse3DNA — block-local neighborhood attention.
+"""Pallas TPU kernels for Sparse3DNA — block-local neighborhood attention.
 
 Replaces the XLA gather path (nuwa_tpu/nda.py) on the hot path. Instead of
 gathering each query's Kf·Kh·Kw neighbors (reference: unfold + per-token
@@ -15,6 +15,12 @@ patch extraction, nuwa_pytorch.py:443-457,523-564), queries are processed one
     bf16), the talking-heads head-mix is fused between softmax and PV, and
     the <bos> column rides along as a scalar lane.
 
+Training runs flash-style: the forward saves only the per-row logsumexp
+(``lse``); the backward recomputes scores tap-by-tap in two kernels — a
+query-side kernel (dq, softmax-dot correction ``rho``, bias/talking-heads/bos
+grads) and a key-side kernel (dk, dv) — so the (T, Kf·HW) probability tensor
+is never materialized in HBM (the XLA dense path saves it as a residual).
+
 Supported: causal + centered modes, any dilation, fmap ≤ 16 (HW ≤ 256 —
 score tiles stay within VMEM); larger fmaps fall back to the XLA path.
 """
@@ -28,6 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# dtype of the in-kernel score/probability cache. bf16 halves VMEM; the
+# backward rounds its recomputed scores through this dtype so P matches the
+# forward bit-for-bit (keeps d(softmax) consistent with the saved lse).
+_CACHE_DTYPE = jnp.bfloat16
 
 
 def _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, causal):
@@ -54,6 +65,67 @@ def _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, causal):
     return mask, selector
 
 
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _mix3(th_ref, mats, heads, transpose=False):
+    """Talking-heads mix of a (h, N, M) value via unrolled scalar AXPYs
+    (SMEM scalars; avoids reshapes Mosaic cannot lower).
+    mixed[a] = sum_b th[a,b] mats[b]  (or th[b,a] when transpose)."""
+    rows = []
+    for a in range(heads):
+        acc = None
+        for b in range(heads):
+            w = th_ref[b, a] if transpose else th_ref[a, b]
+            term = w * mats[b]
+            acc = term if acc is None else acc + term
+        rows.append(acc[None])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _mix2(th_ref, mats, heads, transpose=False):
+    """Same mix for a (h, N) value."""
+    rows = []
+    for a in range(heads):
+        acc = None
+        for b in range(heads):
+            w = th_ref[b, a] if transpose else th_ref[a, b]
+            term = w * mats[b : b + 1, :]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _pair_contract(a3, b3, heads):
+    """(h, h) matrix C[a, b] = sum_{q,k} a3[a,q,k] * b3[b,q,k]."""
+    rows = []
+    for a in range(heads):
+        cols = [
+            jnp.sum(a3[a] * b3[b]).reshape(1, 1) for b in range(heads)
+        ]
+        rows.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _outer_hq_hqd(a2, m3):
+    """(h, d) R[h] = sum_q a2[h,q] * m3[h,q,:].
+
+    The lhs keeps an explicit singleton non-contracting dim — Mosaic cannot
+    lower a dot whose lhs is fully consumed by batch+contraction dims."""
+    r = jax.lax.dot_general(
+        a2[:, None, :], m3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (h, 1, d)
+    return r[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
 def _kernel(
     q_ref,        # (1, h, HW, d) VMEM
     kbos_ref,     # (1, h, 1, d) VMEM
@@ -65,6 +137,7 @@ def _kernel(
     k_hbm,        # (b, h, Tpad, d) ANY
     v_hbm,        # (b, h, Tpad, d) ANY
     out_ref,      # (1, h, HW, d) VMEM
+    lse_ref,      # (1, h, HW) VMEM — per-row logsumexp (flash residual)
     kbuf, vbuf, p_buf, m_buf, acc, sem,
     *,
     Kf: int,
@@ -112,7 +185,7 @@ def _kernel(
         # validity: tap frame exists and kv token < t_valid
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)  # (1, HW)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
-        p_buf[j] = s.astype(jnp.bfloat16)
+        p_buf[j] = s.astype(_CACHE_DTYPE)
         m_buf[...] = jnp.maximum(m_buf[...], jnp.max(s, axis=-1))
 
     # bos column via VPU broadcast-reduce (avoids an N=1 matmul)
@@ -124,10 +197,11 @@ def _kernel(
     denom = p_bos
     for j in range(Kf):
         pj = jnp.exp(p_buf[j].astype(jnp.float32) - m[..., None])
-        p_buf[j] = pj.astype(jnp.bfloat16)
+        p_buf[j] = pj.astype(_CACHE_DTYPE)
         denom = denom + jnp.sum(pj, axis=-1)
 
     inv = 1.0 / denom  # (h, HW)
+    lse_ref[0] = m + jnp.log(denom)  # flash residual for the backward
 
     acc[...] = jnp.zeros((heads, HW, dim_head), jnp.float32)
     for j in range(Kf):
@@ -140,15 +214,7 @@ def _kernel(
         cp_v.wait()
         v = vbuf[...].astype(jnp.float32)  # (h, HW, d)
         attn = p_buf[j].astype(jnp.float32) * inv[..., None]  # (h, HW, HW)
-        # talking heads across the head axis: unrolled scalar AXPY mix
-        # (SMEM scalars; avoids reshapes Mosaic cannot lower)
-        mixed = [None] * heads
-        for gh in range(heads):
-            mg = th_ref[gh, 0] * attn[0]
-            for hh in range(1, heads):
-                mg = mg + th_ref[gh, hh] * attn[hh]
-            mixed[gh] = mg
-        attn = jnp.stack(mixed, axis=0)
+        attn = _mix3(th_ref, attn, heads)
         acc[...] += jax.lax.dot_general(
             attn, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -156,55 +222,430 @@ def _kernel(
 
     # bos contribution with the same head mix
     ab = p_bos * inv  # (h, HW)
-    mixed_b = [None] * heads
-    for gh in range(heads):
-        mg = th_ref[gh, 0] * ab[0]
-        for hh in range(1, heads):
-            mg = mg + th_ref[gh, hh] * ab[hh]
-        mixed_b[gh] = mg
-    attn_bos = jnp.stack(mixed_b, axis=0)  # (h, HW)
+    attn_bos = _mix2(th_ref, ab, heads)  # (h, HW)
     out = acc[...] + attn_bos[..., None] * vbos_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
-    """Entry used by Sparse3DNA.__call__ when ``use_pallas=True``.
+# ---------------------------------------------------------------------------
+# row-blocked forward (HW > 256): queries in R-row blocks, keys from a
+# (R + (kh-1)*dh)-row window of each tapped frame. Frames are padded with
+# prow = (kh-1)*dh zero rows at the top so the relative spatial mask is
+# independent of the row-block index (phantom rows masked at runtime).
+# Two-pass flash: pass 1 computes the per-row logsumexp online (scores are
+# discarded), pass 2 normalizes with it directly — no probability cache.
+# ---------------------------------------------------------------------------
 
-    q, k, v: (b, h, F*HW, d) video tokens (bos stripped, padded to full
-    frames). Returns (b, h, t, d).
-    """
-    b, h, t_pad, d_orig = q.shape
-    assert t_pad == num_frames * mod.video_shape[1] * mod.video_shape[2]
+
+def _rb_mask_and_selector(fw, kh, kw, dh, dw, R, W, prow):
+    """Static relative (R*fw, W*fw) mask + (.., kh*kw) tap selector for the
+    causal row-blocked layout (query row qr sits at window row prow + qr)."""
+    Rfw, Wfw = R * fw, W * fw
+    mask = np.zeros((Rfw, Wfw), dtype=bool)
+    sel = np.zeros((Rfw, Wfw, kh * kw), dtype=np.float32)
+    for qr in range(R):
+        for qx in range(fw):
+            qi = qr * fw + qx
+            for b in range(kh):
+                dy = (b - (kh - 1)) * dh  # causal: dy <= 0
+                wr = prow + qr + dy
+                for c in range(kw):
+                    kx = qx + (c - (kw - 1)) * dw
+                    if 0 <= kx < fw:
+                        ki = wr * fw + kx
+                        mask[qi, ki] = True
+                        sel[qi, ki, b * kw + c] = 1.0
+    return mask, sel
+
+
+def _rb_kernel(
+    q_ref,        # (1, h, Rfw, d) VMEM — query row-block (pre-scaled)
+    kbos_ref,     # (1, h, 1, d)
+    vbos_ref,     # (1, h, 1, d)
+    mask_ref,     # (Rfw, Wfw) float32 additive mask
+    sbias_ref,    # (hb, Rfw, Wfw)
+    fbias_ref,    # (h, Kf) SMEM
+    th_ref,       # (h, h) SMEM
+    k_hbm,        # (b, h, (LB+F)*HWp, d) ANY — row+frame padded
+    v_hbm,        # ANY
+    out_ref,      # (1, h, Rfw, d)
+    lse_ref,      # (1, h, Rfw)
+    kbuf, vbuf, acc, sem,
+    *,
+    Kf: int,
+    df: int,
+    LB: int,
+    HW: int,
+    HWp: int,
+    R: int,
+    fw: int,
+    prow: int,
+    Rfw: int,
+    Wfw: int,
+    heads: int,
+    t_valid: int,
+):
+    bi = pl.program_id(0)
+    fi = pl.program_id(1)
+    rb = pl.program_id(2)
+    f32 = jnp.float32
+
+    q = q_ref[0].astype(f32)
+    kbos = kbos_ref[0].astype(f32)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Wfw), 1)  # window token idx
+
+    def window_start(g):
+        # window begins at padded row rb*R of tapped frame g
+        return (g + LB) * HWp + rb * R * fw
+
+    def fetch_k(j):
+        g = fi - j * df
+        cp = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf, sem.at[0]
+        )
+        cp.start()
+        cp.wait()
+        return kbuf[...].astype(f32)
+
+    def fetch_v(j):
+        g = fi - j * df
+        cp = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], vbuf, sem.at[1]
+        )
+        cp.start()
+        cp.wait()
+        return vbuf[...].astype(f32)
+
+    def tap_scores(j, kmat):
+        g = fi - j * df
+        s = jax.lax.dot_general(
+            q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (h, Rfw, Wfw)
+        s = s + mask_ref[...][None]
+        s = s + sbias_ref[...]
+        s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
+        # runtime validity: frame exists, key row is real (not top padding),
+        # key token is < t_valid
+        krow = rb * R + kidx // fw - prow         # global row in the frame
+        tok = g * HW + krow * fw + kidx % fw      # global token index
+        ok = jnp.logical_and(g >= 0, krow >= 0)
+        ok = jnp.logical_and(ok, tok < t_valid)
+        s = jnp.where(ok[None, :, :], s, -1e30)
+        return s.astype(_CACHE_DTYPE).astype(f32)
+
+    # ---- pass 1: online logsumexp over taps (+bos), scores discarded ----
+    s_bos = jnp.sum(q * kbos, axis=-1)            # (h, Rfw)
+    m = s_bos
+    denom = jnp.ones_like(s_bos)
+    for j in range(Kf):
+        s = tap_scores(j, fetch_k(j))
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        denom = denom * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(s - m_new[..., None]), axis=-1
+        )
+        m = m_new
+    lse = m + jnp.log(denom)
+    lse_ref[0] = lse
+
+    # ---- pass 2: normalized probabilities via lse, mix, PV --------------
+    acc[...] = jnp.zeros(acc.shape, f32)
+    for j in range(Kf):
+        kmat = fetch_k(j)
+        s = tap_scores(j, kmat)
+        vmat = fetch_v(j)
+        pn = jnp.exp(s - lse[..., None])
+        pn = _mix3(th_ref, pn, heads)
+        acc[...] += jax.lax.dot_general(
+            pn, vmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        )
+    pn_bos = _mix2(th_ref, jnp.exp(s_bos - lse), heads)
+    out = acc[...] + pn_bos[..., None] * vbos_ref[0].astype(f32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels (flash-style: recompute scores from the saved lse)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_q_kernel(
+    q_ref,        # (1, h, HW, d) VMEM
+    g_ref,        # (1, h, HW, d) VMEM — output cotangent of this frame
+    lse_ref,      # (1, h, HW) VMEM
+    kbos_ref,     # (1, h, 1, d)
+    vbos_ref,     # (1, h, 1, d)
+    mask_ref,     # (HW, HW)
+    sbias_ref,    # (hb, HW, HW)
+    fbias_ref,    # (h, Kf) SMEM
+    th_ref,       # (h, h) SMEM
+    k_hbm,        # (b, h, Tpad+pad, d) ANY (LB/RB padded)
+    v_hbm,        # ANY
+    dq_ref,       # (1, h, HW, d)
+    rho_ref,      # (1, h, HW) — softmax dot-correction, consumed by kv kernel
+    dkbos_ref,    # (1, h, 1, d) accumulated over frames
+    dvbos_ref,    # (1, h, 1, d)
+    dth_ref,      # (h, h) accumulated over all cells
+    dsb_ref,      # (hb, HW, HW) accumulated
+    dfb_ref,      # (Kf, h) accumulated
+    kbuf, vbuf, sem,
+    *,
+    Kf: int,
+    df: int,
+    LB: int,
+    HW: int,
+    heads: int,
+    t_valid: int,
+    causal_f: bool,
+    rel_pos: bool,
+):
+    bi = pl.program_id(0)
+    fi = pl.program_id(1)
+    f32 = jnp.float32
+
+    q = q_ref[0].astype(f32)
+    go = g_ref[0].astype(f32)
+    lse = lse_ref[0].astype(f32)
+    kbos = kbos_ref[0].astype(f32)  # (h, 1, d)
+    vbos = vbos_ref[0].astype(f32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
+
+    def tap_src_frame(j):
+        if causal_f:
+            return fi - j * df
+        return fi + (j - (Kf - 1) // 2) * df
+
+    def fetch(j):
+        g = tap_src_frame(j)
+        start = (g + LB) * HW
+        cp_k = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(start, HW), :], kbuf, sem.at[0]
+        )
+        cp_k.start()
+        cp_v = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(start, HW), :], vbuf, sem.at[1]
+        )
+        cp_v.start()
+        cp_k.wait()
+        cp_v.wait()
+        return kbuf[...].astype(f32), vbuf[...].astype(f32)
+
+    def tap_p_dp(j, kmat, vmat):
+        """Recompute P_j = exp(S_j - lse) and the mixed cotangent dP_j."""
+        g = tap_src_frame(j)
+        s = jax.lax.dot_general(
+            q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        s = s + mask_ref[...][None]
+        s = s + sbias_ref[...]
+        s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
+        tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)
+        s = jnp.where(tok_ok[None, :, :], s, -1e30)
+        # round through the forward's cache dtype so P is consistent with lse
+        s = s.astype(_CACHE_DTYPE).astype(f32)
+        pj = jnp.exp(s - lse[..., None])  # zero where invalid
+        dA = jax.lax.dot_general(
+            go, vmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (h, HWq, HWk)
+        dP = _mix3(th_ref, dA, heads, transpose=True)
+        return pj, dA, dP
+
+    # ---- bos pieces and rho accumulation ------------------------------
+    s_bos = jnp.sum(q * kbos, axis=-1)          # (h, HW)
+    p_bos = jnp.exp(s_bos - lse)
+    dA_bos = jnp.sum(go * vbos, axis=-1)        # (h, HW)
+    dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+    rho = p_bos * dp_bos
+
+    for j in range(Kf):
+        kmat, vmat = fetch(j)
+        pj, _, dP = tap_p_dp(j, kmat, vmat)
+        rho = rho + jnp.sum(pj * dP, axis=-1)
+    rho_ref[0] = rho
+
+    # ---- dq + parameter grads -----------------------------------------
+    ds_bos = p_bos * (dp_bos - rho)             # (h, HW)
+    dq_acc = ds_bos[..., None] * kbos           # (h, HW, d)
+    dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
+    dsb_acc = None
+    dfb_rows = []
+    for j in range(Kf):
+        kmat, vmat = fetch(j)
+        pj, dA, dP = tap_p_dp(j, kmat, vmat)
+        dS = pj * (dP - rho[..., None])         # (h, HWq, HWk)
+        dq_acc = dq_acc + jax.lax.dot_general(
+            dS, kmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        if rel_pos:
+            dsb_acc = dS if dsb_acc is None else dsb_acc + dS
+            cols = [
+                jnp.sum(dS[hh]).reshape(1, 1) for hh in range(heads)
+            ]
+            dfb_rows.append(jnp.concatenate(cols, axis=1))  # (1, h)
+        dth_acc = dth_acc + _pair_contract(dA, pj, heads)
+
+    dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+
+    is_first = jnp.logical_and(bi == 0, fi == 0)
+
+    @pl.when(is_first)
+    def _():
+        dth_ref[...] = jnp.zeros(dth_ref.shape, dth_ref.dtype)
+        dsb_ref[...] = jnp.zeros(dsb_ref.shape, dsb_ref.dtype)
+        dfb_ref[...] = jnp.zeros(dfb_ref.shape, dfb_ref.dtype)
+
+    dth_ref[...] += dth_acc
+    if rel_pos:
+        dsb_ref[...] += dsb_acc
+        dfb_ref[...] += jnp.concatenate(dfb_rows, axis=0)  # (Kf, h)
+
+    @pl.when(fi == 0)
+    def _():
+        dkbos_ref[...] = jnp.zeros(dkbos_ref.shape, dkbos_ref.dtype)
+        dvbos_ref[...] = jnp.zeros(dvbos_ref.shape, dvbos_ref.dtype)
+
+    dkbos_ref[0, :, 0, :] += _outer_hq_hqd(ds_bos, q).astype(dkbos_ref.dtype)
+    a_bos = _mix2(th_ref, p_bos, heads)
+    dvbos_ref[0, :, 0, :] += _outer_hq_hqd(a_bos, go).astype(dvbos_ref.dtype)
+
+
+def _bwd_kv_kernel(
+    k_ref,        # (1, h, HW, d) VMEM — key frame resident (unpadded layout)
+    v_ref,        # (1, h, HW, d)
+    mask_ref,
+    sbias_ref,
+    fbias_ref,    # (h, Kf) SMEM
+    th_ref,       # (h, h) SMEM
+    q_hbm,        # (b, h, Tpad, d) ANY
+    g_hbm,        # (b, h, Tpad, d) ANY — output cotangent
+    lse_hbm,      # (b, h, Tpad) ANY
+    rho_hbm,      # (b, h, Tpad) ANY
+    dk_ref,       # (1, h, HW, d)
+    dv_ref,       # (1, h, HW, d)
+    qbuf, gbuf, lsebuf, rhobuf, dk_s, dv_s, sem,
+    *,
+    Kf: int,
+    df: int,
+    HW: int,
+    heads: int,
+    t_valid: int,
+    causal_f: bool,
+    num_f: int,
+):
+    bi = pl.program_id(0)
+    gk = pl.program_id(1)
+    f32 = jnp.float32
+
+    kmat = k_ref[0].astype(f32)
+    vmat = v_ref[0].astype(f32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
+    tok_ok = (gk * HW + col) < t_valid  # key-token validity (gk is real)
+
+    dk_s[...] = jnp.zeros(dk_s.shape, dk_s.dtype)
+    dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
+
+    for j in range(Kf):
+        # query frame whose tap j reads key frame gk
+        fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
+        cond = jnp.logical_and(fi >= 0, fi < num_f)
+
+        @pl.when(cond)
+        def _(j=j, fi=fi):
+            start = fi * HW
+            cps = [
+                pltpu.make_async_copy(
+                    q_hbm.at[bi, :, pl.ds(start, HW), :], qbuf, sem.at[0]
+                ),
+                pltpu.make_async_copy(
+                    g_hbm.at[bi, :, pl.ds(start, HW), :], gbuf, sem.at[1]
+                ),
+                pltpu.make_async_copy(
+                    lse_hbm.at[bi, :, pl.ds(start, HW)], lsebuf, sem.at[2]
+                ),
+                pltpu.make_async_copy(
+                    rho_hbm.at[bi, :, pl.ds(start, HW)], rhobuf, sem.at[3]
+                ),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            qm = qbuf[...].astype(f32)
+            gm = gbuf[...].astype(f32)
+            lse = lsebuf[...].astype(f32)
+            rho = rhobuf[...].astype(f32)
+
+            s = jax.lax.dot_general(
+                qm, kmat, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            s = s + mask_ref[...][None]
+            s = s + sbias_ref[...]
+            s = jnp.stack(
+                [s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0
+            )
+            s = jnp.where(tok_ok[None, :, :], s, -1e30)
+            s = s.astype(_CACHE_DTYPE).astype(f32)
+            pj = jnp.exp(s - lse[..., None])
+            dA = jax.lax.dot_general(
+                gm, vmat, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dP = _mix3(th_ref, dA, heads, transpose=True)
+            dS = pj * (dP - rho[..., None])
+            # dK[gk] += dS^T q_fi ; dV[gk] += mix(P)^T g_fi
+            dk_s[...] += jax.lax.dot_general(
+                dS, qm, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            a_mixed = _mix3(th_ref, pj, heads)
+            dv_s[...] += jax.lax.dot_general(
+                a_mixed, gm, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+
+    dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+def _geometry(mod, num_frames, d_orig):
     fdim, fh, fw = mod.video_shape
     HW = fh * fw
     kf, kh, kw = mod.kernel
     df, dh, dw = mod.dilations
-    F = num_frames
-    assert HW <= 256, "pallas 3DNA supports fmap <= 16; use the XLA path"
-
     # Mosaic DMA slices need a 128-aligned lane (minor) dim — zero-pad the
-    # head dim (zeros contribute nothing to QK^T and are sliced off at PV out)
+    # head dim (zeros contribute nothing to QK^T; sliced off at the output)
     d = ((d_orig + 127) // 128) * 128
-    if d != d_orig:
-        padd = ((0, 0), (0, 0), (0, 0), (0, d - d_orig))
-        q = jnp.pad(q, padd)
-        k = jnp.pad(k, padd)
-        v = jnp.pad(v, padd)
-        k_bos = jnp.pad(k_bos, padd)
-        v_bos = jnp.pad(v_bos, padd)
-
     LB = (kf - 1) * df if mod.causal else ((kf - 1) // 2) * df
     RB = 0 if mod.causal else ((kf - 1) // 2) * df
+    return dict(
+        fh=fh, fw=fw, HW=HW, kf=kf, kh=kh, kw=kw, df=df, dh=dh, dw=dw,
+        d=d, LB=LB, RB=RB, F=num_frames,
+    )
 
-    # pad kv with LB front frames (+ RB back frames for centered windows)
-    kpad = jnp.pad(k, ((0, 0), (0, 0), (LB * HW, RB * HW), (0, 0)))
-    vpad = jnp.pad(v, ((0, 0), (0, 0), (LB * HW, RB * HW), (0, 0)))
 
-    # static mask (numpy) + traced bias matrices (params are tracers under jit)
+def _pad_d(arrs, d_orig, d):
+    if d == d_orig:
+        return arrs
+    padd = ((0, 0), (0, 0), (0, 0), (0, d - d_orig))
+    return [jnp.pad(a, padd) for a in arrs]
+
+
+def _bias_tensors(mod, p, heads):
+    """Differentiable (sbias, fbias, th_w) from params + the static mask."""
+    fh, fw = mod.video_shape[1], mod.video_shape[2]
+    kf, kh, kw = mod.kernel
+    df, dh, dw = mod.dilations
     mask_np, selector_np = _spatial_mask_and_selector(
         fh, fw, kh, kw, dh, dw, mod.causal
     )
     maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+    h = heads
 
     if mod.rel_pos_bias:
         axials = list(p["rel_pos_bias"]["axials"])
@@ -230,23 +671,22 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
         )
     else:
         fbias = jnp.zeros((h, kf), jnp.float32)
-        sbias = jnp.zeros((1, HW, HW), jnp.float32)
+        sbias = jnp.zeros((1, fh * fw, fh * fw), jnp.float32)
 
     th_w = p["talking_heads"].astype(jnp.float32)
+    return maskf, sbias, fbias, th_w
 
+
+def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad):
+    b, h = q.shape[0], q.shape[1]
+    HW, d, kf = geo["HW"], geo["d"], geo["kf"]
+    F = geo["F"]
     kernel = functools.partial(
         _kernel,
-        Kf=kf,
-        df=df,
-        LB=LB,
-        HW=HW,
-        heads=h,
-        dim_head=d,
-        t_valid=t,
-        causal_f=mod.causal,
+        Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
+        t_valid=t, causal_f=mod.causal,
     )
-
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(b, F),
         in_specs=[
@@ -263,13 +703,20 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
             pl.BlockSpec(memory_space=pl.ANY),                       # k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                       # v (HBM)
         ],
-        out_specs=pl.BlockSpec((1, h, HW, d), lambda bi, fi: (bi, 0, fi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, h, HW, d), lambda bi, fi: (bi, 0, fi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, HW), lambda bi, fi: (bi, 0, fi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * HW), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((h, HW, d), q.dtype),            # kbuf (matches DMA src)
             pltpu.VMEM((h, HW, d), q.dtype),            # vbuf
-            pltpu.VMEM((kf, h, HW, HW), jnp.bfloat16),  # p_buf
+            pltpu.VMEM((kf, h, HW, HW), _CACHE_DTYPE),  # p_buf
             pltpu.VMEM((h, HW), jnp.float32),           # m_buf
             pltpu.VMEM((h, HW, d), jnp.float32),        # acc
             pltpu.SemaphoreType.DMA((2,)),
@@ -278,6 +725,293 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    return out, lse
+
+
+def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
+                th_w, kpad, vpad):
+    b, h = q.shape[0], q.shape[1]
+    HW, d, kf = geo["HW"], geo["d"], geo["kf"]
+    F = geo["F"]
+    hb = sbias.shape[0]
+    kernel = functools.partial(
+        _bwd_q_kernel,
+        Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h,
+        t_valid=t, causal_f=mod.causal, rel_pos=mod.rel_pos_bias,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, F),
+        in_specs=[
+            pl.BlockSpec((1, h, HW, d), lambda bi, fi: (bi, 0, fi, 0),
+                         memory_space=pltpu.VMEM),                      # q
+            pl.BlockSpec((1, h, HW, d), lambda bi, fi: (bi, 0, fi, 0),
+                         memory_space=pltpu.VMEM),                      # gout
+            pl.BlockSpec((1, h, HW), lambda bi, fi: (bi, 0, fi),
+                         memory_space=pltpu.VMEM),                      # lse
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # k_bos
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # v_bos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            pl.BlockSpec(memory_space=pl.ANY),                       # kpad
+            pl.BlockSpec(memory_space=pl.ANY),                       # vpad
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, HW, d), lambda bi, fi: (bi, 0, fi, 0),
+                         memory_space=pltpu.VMEM),                      # dq
+            pl.BlockSpec((1, h, HW), lambda bi, fi: (bi, 0, fi),
+                         memory_space=pltpu.VMEM),                      # rho
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # dk_bos
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # dv_bos
+            pl.BlockSpec((h, h), lambda bi, fi: (0, 0),
+                         memory_space=pltpu.VMEM),                      # dth
+            pl.BlockSpec((hb, HW, HW), lambda bi, fi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # dsbias
+            pl.BlockSpec((kf, h), lambda bi, fi: (0, 0),
+                         memory_space=pltpu.VMEM),                      # dfbias
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * HW), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((hb, HW, HW), jnp.float32),
+            jax.ShapeDtypeStruct((kf, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, HW, d), q.dtype),            # kbuf
+            pltpu.VMEM((h, HW, d), q.dtype),            # vbuf
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+
+
+def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w):
+    b, h = q.shape[0], q.shape[1]
+    HW, d, kf = geo["HW"], geo["d"], geo["kf"]
+    F = geo["F"]
+    kernel = functools.partial(
+        _bwd_kv_kernel,
+        Kf=kf, df=geo["df"], HW=HW, heads=h,
+        t_valid=t, causal_f=mod.causal, num_f=F,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, F),
+        in_specs=[
+            pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
+                         memory_space=pltpu.VMEM),                      # k
+            pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
+                         memory_space=pltpu.VMEM),                      # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            pl.BlockSpec(memory_space=pl.ANY),                       # q
+            pl.BlockSpec(memory_space=pl.ANY),                       # gout
+            pl.BlockSpec(memory_space=pl.ANY),                       # lse
+            pl.BlockSpec(memory_space=pl.ANY),                       # rho
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, HW, d), q.dtype),            # qbuf
+            pltpu.VMEM((h, HW, d), q.dtype),            # gbuf
+            pltpu.VMEM((h, HW), jnp.float32),           # lsebuf
+            pltpu.VMEM((h, HW), jnp.float32),           # rhobuf
+            pltpu.VMEM((h, HW, d), jnp.float32),        # dk accumulator
+            pltpu.VMEM((h, HW, d), jnp.float32),        # dv accumulator
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(k, v, maskf, sbias, fbias, th_w, q, gout, lse, rho)
+
+
+def _pad_frames(geo, k, v):
+    HW, LB, RB = geo["HW"], geo["LB"], geo["RB"]
+    kpad = jnp.pad(k, ((0, 0), (0, 0), (LB * HW, RB * HW), (0, 0)))
+    vpad = jnp.pad(v, ((0, 0), (0, 0), (LB * HW, RB * HW), (0, 0)))
+    return kpad, vpad
+
+
+def rb_row_block(mod):
+    """Row-block size for the row-blocked kernel: the largest divisor of the
+    fmap height whose query block stays <= 256 tokens. None = unsupported."""
+    fh, fw = mod.video_shape[1], mod.video_shape[2]
+    if not mod.causal or fw > 256:
+        return None
+    for R in range(max(1, 256 // fw), 0, -1):
+        if fh % R == 0:
+            return R
+    return None
+
+
+def _rb_geometry(mod, num_frames, d_orig):
+    geo = _geometry(mod, num_frames, d_orig)
+    R = rb_row_block(mod)
+    assert R is not None
+    kh, dh_ = geo["kh"], geo["dh"]
+    prow = (kh - 1) * dh_
+    geo.update(
+        R=R, prow=prow, W=R + prow, RB=geo["fh"] // R,
+        HWp=(geo["fh"] + prow) * geo["fw"],
+        Rfw=R * geo["fw"], Wfw=(R + prow) * geo["fw"],
+    )
+    return geo
+
+
+def _rb_pad_frames(geo, k, v):
+    """LB front frames + prow zero rows at the top of every frame."""
+    b, h, T, d = k.shape
+    F, fh, fw, prow = geo["F"], geo["fh"], geo["fw"], geo["prow"]
+
+    def pad_one(x):
+        x = x.reshape(b, h, F, fh, fw, d)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (prow, 0), (0, 0), (0, 0)))
+        x = x.reshape(b, h, F * geo["HWp"], d)
+        return jnp.pad(x, ((0, 0), (0, 0), (geo["LB"] * geo["HWp"], 0), (0, 0)))
+
+    return pad_one(k), pad_one(v)
+
+
+def _rb_bias_tensors(mod, p, heads, geo):
+    """Relative-window mask + sbias for the row-blocked kernel."""
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    mask_np, selector_np = _rb_mask_and_selector(
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+    )
+    maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+    h = heads
+    if mod.rel_pos_bias:
+        axials = list(p["rel_pos_bias"]["axials"])
+        comp = dict(zip(sizes_index(mod.kernel), axials))
+        f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
+        if f_tab is not None:
+            fb = jnp.transpose(f_tab)
+            fbias = fb[:, ::-1]  # causal tap enumeration
+        else:
+            fbias = jnp.zeros((h, kf), jnp.float32)
+        hw_tab = jnp.zeros((kh, kw, h), jnp.float32)
+        if h_tab is not None:
+            hw_tab = hw_tab + h_tab[:, None, :]
+        if w_tab is not None:
+            hw_tab = hw_tab + w_tab[None, :, :]
+        hw_tab = hw_tab.reshape(kh * kw, h)
+        sbias = jnp.einsum(
+            "qkt,th->hqk", jnp.asarray(selector_np, jnp.float32), hw_tab
+        )
+    else:
+        fbias = jnp.zeros((h, kf), jnp.float32)
+        sbias = jnp.zeros((1, geo["Rfw"], geo["Wfw"]), jnp.float32)
+    th_w = p["talking_heads"].astype(jnp.float32)
+    return maskf, sbias, fbias, th_w
+
+
+def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
+                 kpad, vpad):
+    b, h = q.shape[0], q.shape[1]
+    d, kf, F = geo["d"], geo["kf"], geo["F"]
+    Rfw, Wfw, RB = geo["Rfw"], geo["Wfw"], geo["RB"]
+    kernel = functools.partial(
+        _rb_kernel,
+        Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
+        R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
+        heads=h, t_valid=t,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, F, RB),
+        in_specs=[
+            pl.BlockSpec((1, h, Rfw, d),
+                         lambda bi, fi, rb: (bi, 0, fi * RB + rb, 0),
+                         memory_space=pltpu.VMEM),                      # q
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # k_bos
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # v_bos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            pl.BlockSpec(memory_space=pl.ANY),                       # kpad
+            pl.BlockSpec(memory_space=pl.ANY),                       # vpad
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, Rfw, d),
+                         lambda bi, fi, rb: (bi, 0, fi * RB + rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, Rfw),
+                         lambda bi, fi, rb: (bi, 0, fi * RB + rb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"], d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"]), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, Wfw, d), q.dtype),           # kbuf
+            pltpu.VMEM((h, Wfw, d), q.dtype),           # vbuf
+            pltpu.VMEM((h, Rfw, d), jnp.float32),       # acc
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    return out, lse
+
+
+def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
+    """Forward-only entry (inference path of ``Sparse3DNA.__call__``).
+
+    q, k, v: (b, h, F*HW, d) video tokens (bos stripped, padded to full
+    frames). Returns (b, h, t, d). HW <= 256 runs the whole-frame kernel;
+    larger (causal) fmaps run the row-blocked kernel.
+    """
+    b, h, t_pad, d_orig = q.shape
+    assert t_pad == num_frames * mod.video_shape[1] * mod.video_shape[2]
+    geo = _geometry(mod, num_frames, d_orig)
+
+    if geo["HW"] <= 256:
+        q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
+        kpad, vpad = _pad_frames(geo, k, v)
+        maskf, sbias, fbias, th_w = _bias_tensors(mod, p, h)
+        out, _ = _fwd_call(
+            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+        )
+        return out[:, :, :t, :d_orig]
+
+    assert rb_row_block(mod) is not None, (
+        "row-blocked pallas 3DNA needs causal mode and fmap width <= 256"
+    )
+    geo = _rb_geometry(mod, num_frames, d_orig)
+    q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
+    kpad, vpad = _rb_pad_frames(geo, k, v)
+    maskf, sbias, fbias, th_w = _rb_bias_tensors(mod, p, h, geo)
+    out, _ = _rb_fwd_call(
+        mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+    )
     return out[:, :, :t, :d_orig]
 
 
@@ -287,49 +1021,156 @@ def sizes_index(kernel):
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: pallas forward, XLA-gather backward (remat-style)
+# differentiable op: pallas forward + true pallas backward (flash-style)
 # ---------------------------------------------------------------------------
 
 _VJP_CACHE = {}
 
 
+def _core_op(mod, num_frames, t, heads):
+    """custom_vjp core over tensors only (biases precomputed outside so
+    autodiff chains parameter grads through ``_bias_tensors``)."""
+    geo = _geometry(mod, num_frames, 64)  # d filled per-call; geo static bits
+
+    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        g = _geometry(mod, num_frames, q.shape[-1])
+        maskf = _static_mask(mod)
+        kpad, vpad = _pad_frames(g, k, v)
+        return _fwd_call(
+            mod, g, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        g = _geometry(mod, num_frames, q.shape[-1])
+        maskf = _static_mask(mod)
+        kpad, vpad = _pad_frames(g, k, v)
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dsb, dfb = _bwd_q_call(
+            mod, g, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
+            th_w, kpad, vpad,
+        )
+        dk, dv = _bwd_kv_call(
+            mod, g, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dsb.astype(sbias.dtype),
+            jnp.transpose(dfb).astype(fbias.dtype),  # (Kf,h) -> (h,Kf)
+            dth.astype(th_w.dtype),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _static_mask(mod):
+    fh, fw = mod.video_shape[1], mod.video_shape[2]
+    kf, kh, kw = mod.kernel
+    df, dh, dw = mod.dilations
+    mask_np, _ = _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, mod.causal)
+    return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+
+
 def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
     """Return a differentiable op ``f(p_sub, q, k, v, k_bos, v_bos)``.
 
-    Forward runs the Pallas kernel; the backward recomputes the equivalent
-    XLA gather-attention (nuwa_tpu/nda) and uses its VJP — the forward stays
-    on the fused kernel while gradients remain exact (rematerialization, no
-    extra residuals saved).
+    Forward runs the fused Pallas kernel (saving only the per-row logsumexp);
+    the backward runs two Pallas kernels that recompute scores flash-style —
+    dq/bias/talking-heads/bos grads query-side, dk/dv key-side — so the
+    probability tensor never hits HBM. Parameter grads (axial rel-pos tables,
+    talking-heads) chain through the differentiable bias construction.
     """
     cache_key = (mod, num_frames, t)
     if cache_key in _VJP_CACHE:
         return _VJP_CACHE[cache_key]
 
-    from ..nda import _nda_attend, build_nda_indices, gather_neighbors
+    HW = mod.video_shape[1] * mod.video_shape[2]
+    if HW > 256:
+        # row-blocked forward; backward remats through the XLA chunked dense
+        # path (true row-blocked backward kernels: future work)
+        return sparse_3dna_pallas_vjp_remat(mod, num_frames, t)
+
+    core = _core_op(mod, num_frames, t, mod.heads)
+
+    def op(p_sub, q, k, v, k_bos, v_bos):
+        d_orig = q.shape[-1]
+        geo = _geometry(mod, num_frames, d_orig)
+        _, sbias, fbias, th_w = _bias_tensors(mod, p_sub, mod.heads)
+        q, k, v, k_bos, v_bos = _pad_d(
+            [q, k, v, k_bos, v_bos], d_orig, geo["d"]
+        )
+        out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        return out[:, :, :t, :d_orig]
+
+    _VJP_CACHE[cache_key] = op
+    return op
+
+
+def sparse_3dna_pallas_vjp_remat(mod, num_frames: int, t: int):
+    """Legacy differentiable wrapper: pallas forward, XLA-gather backward
+    (rematerialization). Kept for A/B comparison against the true backward."""
+    cache_key = ("remat", mod, num_frames, t)
+    if cache_key in _VJP_CACHE:
+        return _VJP_CACHE[cache_key]
+
+    from ..nda import (
+        _dense_tap_attend_chunked,
+        _nda_attend,
+        build_nda_indices,
+        gather_neighbors,
+    )
 
     F, fh, fw = mod.video_shape
     HW = fh * fw
-    mode = "causal" if mod.causal else "centered"
-    idx_np, valid_np = build_nda_indices(
-        (num_frames, fh, fw), mod.kernel, mod.dilations, (mode,) * 3
-    )
-    idx_np, valid_np = idx_np[:t], valid_np[:t]
-    if t < num_frames * HW:
-        valid_np = valid_np & (idx_np < t)
-    idx_c = jnp.asarray(idx_np)
-    valid_c = jnp.asarray(valid_np)
 
-    def reference(p_sub, q, k, v, k_bos, v_bos):
-        rel_bias = None
-        if mod.rel_pos_bias:
-            rel_bias = mod.bias_module(p_sub["rel_pos_bias"]).T
-        k_nb = gather_neighbors(k, idx_c)
-        v_nb = gather_neighbors(v, idx_c)
-        out = _nda_attend(
-            q[:, :, :t], k_nb, v_nb, valid_c, k_bos, v_bos, rel_bias,
-            p_sub["talking_heads"],
+    if HW > 256 and mod.causal:
+        # remat via the row-chunked dense XLA path (gather materializes
+        # (t, Kn, d) neighbor tensors — prohibitive at these fmaps)
+        R = rb_row_block(mod)
+
+        def reference(p_sub, q, k, v, k_bos, v_bos):
+            axials = (
+                p_sub["rel_pos_bias"]["axials"] if mod.rel_pos_bias else None
+            )
+            return _dense_tap_attend_chunked(
+                mod, q, k, v, k_bos, v_bos, num_frames, t, axials,
+                p_sub["talking_heads"], R,
+            )
+    else:
+        mode = "causal" if mod.causal else "centered"
+        idx_np, valid_np = build_nda_indices(
+            (num_frames, fh, fw), mod.kernel, mod.dilations, (mode,) * 3
         )
-        return out
+        idx_np, valid_np = idx_np[:t], valid_np[:t]
+        if t < num_frames * HW:
+            valid_np = valid_np & (idx_np < t)
+        idx_c = jnp.asarray(idx_np)
+        valid_c = jnp.asarray(valid_np)
+
+        def reference(p_sub, q, k, v, k_bos, v_bos):
+            rel_bias = None
+            if mod.rel_pos_bias:
+                rel_bias = mod.bias_module(p_sub["rel_pos_bias"]).T
+            k_nb = gather_neighbors(k, idx_c)
+            v_nb = gather_neighbors(v, idx_c)
+            out = _nda_attend(
+                q[:, :, :t], k_nb, v_nb, valid_c, k_bos, v_bos, rel_bias,
+                p_sub["talking_heads"],
+            )
+            return out
 
     @jax.custom_vjp
     def op(p_sub, q, k, v, k_bos, v_bos):

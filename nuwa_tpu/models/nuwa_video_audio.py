@@ -341,21 +341,19 @@ class NUWAVideoAudio(Module):
         y0, caches = dec.step_audio(ptr, caches, audio_input(0, jnp.zeros((b,), jnp.int32)), jnp.asarray(0))
         pending0 = cfg_mix(jnp.dot(y0, p["to_audio_logits"].astype(y0.dtype)))
 
-        # static schedule over token steps
-        sched, vps, aps = [], [], []
-        vc = ac = 0
-        for _ in range(num_frames):
-            for _ in range(vtpf):
-                sched.append(0); vps.append(vc); aps.append(ac); vc += 1
-            for _ in range(atpf):
-                sched.append(1); vps.append(vc); aps.append(ac); ac += 1
-        sched = jnp.asarray(np.array(sched), jnp.int32)
-        vps = jnp.asarray(np.array(vps), jnp.int32)
-        aps = jnp.asarray(np.array(aps), jnp.int32)
+        # Per-frame two-phase rollout: an outer scan over frames with an inner
+        # video-token scan then an inner audio-token scan. The modality
+        # schedule is static per frame, so this compiles each tower's step
+        # exactly once — the earlier per-token ``lax.cond`` between the two
+        # tower steps compiled both branches inside one fused scan body and
+        # took ~35 min through the remote-compile tunnel. PRNG keys split in
+        # the same global order as the flat schedule, so samples (and the
+        # cached-vs-full parity tests) stay bit-exact.
 
-        def video_branch(args):
-            caches, pending, prev_v, vbuf, abuf, i, sub = args
-            vp = vps[i]
+        def video_step(carry, i):
+            caches, pending, prev_v, vbuf, abuf, key, f = carry
+            key, sub = jax.random.split(key)
+            vp = f * vtpf + i
             bos = jnp.broadcast_to(p["video_bos"], (b, self.dim))
             emb = jnp.take(vtable, prev_v, axis=0) + jax.lax.dynamic_index_in_dim(
                 vpos_emb, jnp.maximum(vp - 1, 0), 0, keepdims=False
@@ -366,33 +364,35 @@ class NUWAVideoAudio(Module):
             filtered = top_k_filter(logits, thres=filter_thres)
             sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
             vbuf = vbuf.at[:, vp].set(sample)
-            return caches, pending, sample, vbuf, abuf
+            return (caches, pending, sample, vbuf, abuf, key, f), None
 
-        def audio_branch(args):
-            caches, pending, prev_v, vbuf, abuf, i, sub = args
-            ap = aps[i]
+        def audio_step(carry, i):
+            caches, pending, prev_v, vbuf, abuf, key, f = carry
+            key, sub = jax.random.split(key)
+            ap = f * atpf + i
             filtered = top_k_filter(pending, thres=filter_thres)
             sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
             abuf = abuf.at[:, ap].set(sample)
             # peek-step the next audio input position (embedding of `sample`)
             y, caches = dec.step_audio(ptr, caches, audio_input(ap + 1, sample), ap + 1)
             pending = cfg_mix(jnp.dot(y, p["to_audio_logits"].astype(y.dtype)))
-            return caches, pending, prev_v, vbuf, abuf
+            return (caches, pending, prev_v, vbuf, abuf, key, f), None
 
-        def step(carry, i):
+        def frame_step(carry, f):
             caches, pending, prev_v, vbuf, abuf, key = carry
-            key, sub = jax.random.split(key)
-            args = (caches, pending, prev_v, vbuf, abuf, i, sub)
-            caches, pending, prev_v, vbuf, abuf = jax.lax.cond(
-                sched[i] == 0, video_branch, audio_branch, args
-            )
+            inner = (caches, pending, prev_v, vbuf, abuf, key, f)
+            inner, _ = jax.lax.scan(video_step, inner, jnp.arange(vtpf))
+            inner, _ = jax.lax.scan(audio_step, inner, jnp.arange(atpf))
+            caches, pending, prev_v, vbuf, abuf, key, _ = inner
             return (caches, pending, prev_v, vbuf, abuf, key), None
 
         vbuf0 = jnp.zeros((b, total_v), jnp.int32)
         abuf0 = jnp.zeros((b, total_a), jnp.int32)
         prev0 = jnp.zeros((b,), jnp.int32)
         (caches, _, _, vbuf, abuf, _), _ = jax.lax.scan(
-            step, (caches, pending0, prev0, vbuf0, abuf0, key), jnp.arange(total)
+            frame_step,
+            (caches, pending0, prev0, vbuf0, abuf0, key),
+            jnp.arange(num_frames),
         )
         return vbuf, abuf
 

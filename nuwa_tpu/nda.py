@@ -528,7 +528,26 @@ class Sparse3DNA(Module):
 
         rel_bias = self._rel_bias(p)
 
-        pallas_ok = self.use_pallas and tokens_per_frame <= 256 and key is None
+        # a PRNG key only matters when attention dropout is active; with
+        # dropout=0 the fast paths stay usable during training (trainers
+        # always thread per-layer keys)
+        key_ok = key is None or self.dropout == 0.0
+        # backend='auto' on TPU prefers the fused Pallas kernels (measured
+        # faster than the dense XLA path both forward and fwd+bwd on v5e —
+        # docs/BENCHMARKS.md); CPU and constrained shapes fall through to XLA.
+        want_pallas = self.use_pallas or (
+            self.backend == "auto"
+            and jax.default_backend() == "tpu"
+            # sublane alignment: the kernels DMA (h, HW, d) tiles
+            and tokens_per_frame % 8 == 0
+        )
+        if tokens_per_frame <= 256:
+            pallas_ok = want_pallas and key_ok
+        else:
+            # large fmaps: row-blocked kernel (causal, fmap width <= 256)
+            from .kernels.nda_pallas import rb_row_block
+
+            pallas_ok = want_pallas and key_ok and rb_row_block(self) is not None
         if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas_vjp
 
@@ -546,7 +565,7 @@ class Sparse3DNA(Module):
         elif (
             self.backend in ("dense", "dense_chunked")
             or (self.backend == "auto" and tokens_per_frame <= 4096)
-        ) and key is None:
+        ) and key_ok:
             q_pad = (
                 jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
                 if t < num_frames * tokens_per_frame

@@ -69,6 +69,54 @@ class VGG16Features(Module):
         return x
 
 
+    def features_multiscale(self, p, x, layers=(1, 3, 6, 9, 12)):
+        """Intermediate post-relu conv activations at ``layers`` (conv
+        indices), for LPIPS-style multi-layer perceptual distances."""
+        feats = []
+        ci = 0
+        cin = self.channels
+        for spec in _VGG16_PLAN:
+            if spec == "M":
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                )
+                continue
+            x = Conv2d(cin, spec, (3, 3), use_bias=True)(p["convs"][ci], x)
+            x = jax.nn.relu(x)
+            if ci in layers:
+                feats.append(x)
+                if ci >= max(layers):
+                    break
+            cin = spec
+            ci += 1
+        return feats
+
+
+def random_perceptual_loss(p, vgg, img, recon, layers=(1, 3, 6, 9, 12)):
+    """LPIPS-style perceptual distance over multi-layer VGG16 features with
+    *fixed-seed random* weights — the documented no-download stand-in for
+    pretrained VGG16 (the reference hard-uses torchvision's, /root/reference/
+    nuwa_pytorch/vqgan_vae.py:398-399,514-525; this box has no weights and no
+    egress). Random deep features are a surprisingly strong perceptual
+    metric: Zhang et al., "The Unreasonable Effectiveness of Deep Features as
+    a Perceptual Metric" (CVPR 2018) report even untrained nets outperform
+    pixel metrics, and Saxe et al. (ICML 2011) show random convolutions are
+    frequency-selective feature extractors. Features are channel-l2
+    normalized per position (as in LPIPS) and layers are equally weighted.
+    Swap in real weights via ``load_torch_vgg16_state_dict`` when available.
+    """
+    fa = vgg.features_multiscale(p, img, layers)
+    fb = vgg.features_multiscale(p, recon, layers)
+
+    def unit(f):
+        return f * jax.lax.rsqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-10)
+
+    loss = 0.0
+    for a, b in zip(fa, fb):
+        loss = loss + jnp.mean(jnp.sum((unit(a) - unit(b)) ** 2, axis=-1))
+    return loss / len(fa)
+
+
 def load_torch_vgg16_state_dict(state_dict):
     """Convert a torchvision ``vgg16`` state_dict (numpy-able tensors) into
     ``VGG16Features`` params. Conv kernels OIHW -> HWIO; linears transposed."""

@@ -402,10 +402,17 @@ class VQGanVAE(Module):
         p = {"enc": enc, "dec": dec, "vq": self.vq.init(next(ks))}
         if include_gan and self.use_vgg_and_gan:
             p["discr"] = self.discriminator.init(next(ks))
-            if self.perceptual == "vgg":
+            if self.perceptual in ("vgg", "random_vgg"):
                 from .perceptual import VGG16Features
 
-                p["vgg"] = VGG16Features(channels=3).init(next(ks))
+                # random_vgg: fixed seed, never trained — a deterministic
+                # random-feature perceptual metric (see perceptual.py)
+                key_vgg = (
+                    jax.random.PRNGKey(0)
+                    if self.perceptual == "random_vgg"
+                    else next(ks)
+                )
+                p["vgg"] = VGG16Features(channels=3).init(key_vgg)
         return p
 
     def init_state(self, key):
@@ -542,14 +549,18 @@ class VQGanVAE(Module):
         return jnp.mean(jnp.abs(fmap - img))
 
     def _perceptual_loss(self, p, img_nhwc, recon_nhwc):
-        if self.perceptual != "vgg" or "vgg" not in p:
+        if self.perceptual not in ("vgg", "random_vgg") or "vgg" not in p:
             return jnp.asarray(0.0)
-        from .perceptual import VGG16Features
+        from .perceptual import VGG16Features, random_perceptual_loss
 
         vgg = VGG16Features(channels=3)
         if self.channels == 1:  # grayscale -> repeat to rgb (reference :519-521)
             img_nhwc = jnp.repeat(img_nhwc, 3, axis=-1)
             recon_nhwc = jnp.repeat(recon_nhwc, 3, axis=-1)
+        if self.perceptual == "random_vgg":
+            # LPIPS-style multi-layer distance over fixed random features —
+            # the documented no-pretrained-weights mode (perceptual.py)
+            return random_perceptual_loss(p["vgg"], vgg, img_nhwc, recon_nhwc)
         f_img = vgg(p["vgg"], img_nhwc)
         f_rec = vgg(p["vgg"], recon_nhwc)
         return jnp.mean((f_img - f_rec) ** 2)

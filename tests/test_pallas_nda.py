@@ -72,6 +72,110 @@ def test_pallas_3dna_larger_grid():
     _compare(mod, x)
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(video_shape=(3, 2, 2), kernel_size=3, dilation=2, causal=True),
+        dict(video_shape=(3, 2, 2), kernel_size=3, dilation=1, causal=False),
+        dict(video_shape=(4, 4, 4), kernel_size=(3, 3, 3), dilation=(2, 1, 1),
+             causal=True, rel_pos_bias=True),
+    ],
+    ids=["dilated", "centered", "larger-grid-bias"],
+)
+def test_pallas_true_backward_matches_gather(kw):
+    """The flash-style Pallas backward (dq/dk/dv/bos/bias/talking-heads) must
+    match the XLA gather path's gradients for every input and parameter."""
+    mod = Sparse3DNA(dim=16, heads=2, dim_head=8, **kw)
+    mod_pl = mod.replace(use_pallas=True)
+    p = mod.init(KEY)
+    F = kw["video_shape"][0]
+    HW = kw["video_shape"][1] * kw["video_shape"][2]
+    t = F * HW - 2  # ragged tail exercises phantom-token masking in the bwd
+    x = jax.random.normal(KEY, (2, 1 + t, 16))
+    w = jax.random.normal(jax.random.PRNGKey(7), (2, 1 + t, 16))
+
+    def loss(m, p, x):
+        return jnp.sum(m(p, x) * w)
+
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+def test_pallas_true_backward_exact_with_fp32_cache():
+    """With the score cache widened to fp32 the backward is exact (~1e-5) —
+    pins down that the only deviation is the documented bf16 cache."""
+    import nuwa_tpu.kernels.nda_pallas as K
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = Sparse3DNA(
+            dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+            heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+        )
+        mod_pl = mod.replace(use_pallas=True)
+        p = mod.init(KEY)
+        x = jax.random.normal(KEY, (2, 13, 16))
+
+        def loss(m, p, x):
+            return jnp.sum(m(p, x) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
+@pytest.mark.parametrize("dilation", [(1, 1, 1), (1, 2, 2)])
+def test_pallas_row_blocked_large_fmap(dilation):
+    """HW > 256 routes to the row-blocked kernel (R-row query blocks against
+    a sliding key-row window); must match the XLA chunked dense path."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 32, 9), kernel_size=3, dilation=dilation,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    x = jax.random.normal(KEY, (1, 1 + 2 * 32 * 9, 16))
+    _compare(mod, x, atol=3e-2)
+
+
+def test_pallas_row_blocked_partial_frame_grads():
+    """Row-blocked forward with ragged tail + remat backward through the
+    chunked dense path."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 32, 9), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True,
+    )
+    mod_pl = mod.replace(use_pallas=True)
+    p = mod.init(KEY)
+    t = 2 * 32 * 9 - 5
+    x = jax.random.normal(KEY, (1, 1 + t, 16))
+    w = jax.random.normal(jax.random.PRNGKey(8), (1, 1 + t, 16))
+
+    def loss(m, p, x):
+        # fixed cotangent: isolates the backward from the forward's bf16
+        # score-cache deviation (sum(out**2) would fold 2*Δout into g)
+        return jnp.sum(m(p, x) * w)
+
+    ref = np.asarray(mod(p, x))
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod_pl(p, x))
+        g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
 def test_pallas_gradients_match_xla_path():
     """jax.grad through the pallas op (XLA-remat backward) == gather path."""
     mod = Sparse3DNA(

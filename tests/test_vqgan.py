@@ -307,6 +307,49 @@ def test_vae_bf16_compute_dtype_loss_parity():
     assert recon.dtype == jnp.float32
 
 
+def test_random_vgg_perceptual_loss():
+    """The no-pretrained-weights perceptual mode: fixed random VGG features,
+    LPIPS-style multi-layer distance. Zero for identical images, positive
+    and differentiable for different ones."""
+    from nuwa_tpu.perceptual import VGG16Features, random_perceptual_loss
+
+    vgg = VGG16Features(channels=3)
+    p = vgg.init(jax.random.PRNGKey(0))
+    a = jax.random.uniform(KEY, (2, 16, 16, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    same = float(random_perceptual_loss(p, vgg, a, a))
+    diff = float(random_perceptual_loss(p, vgg, a, b))
+    assert same < 1e-6
+    assert diff > 1e-3
+    g = jax.grad(lambda b: random_perceptual_loss(p, vgg, a, b))(b)
+    assert float(jnp.abs(g).max()) > 0
+
+    # blur sensitivity: a slightly noised copy scores closer than an
+    # unrelated image (sanity that the metric orders similarity)
+    near = a + 0.05 * jax.random.normal(jax.random.PRNGKey(2), a.shape)
+    assert float(random_perceptual_loss(p, vgg, a, near)) < diff
+
+
+def test_vae_random_vgg_gan_training_mode():
+    vae = VQGanVAE(
+        dim=8, image_size=16, num_layers=2, vq_codebook_size=16,
+        vq_codebook_dim=8, resnet_groups=4, use_vgg_and_gan=True,
+        perceptual="random_vgg", vq_kmeans_init=False, use_attn=False,
+        num_resnet_blocks=0,
+    )
+    p = vae.init(KEY)
+    assert "vgg" in p
+    s = vae.init_state(KEY)
+    img = jax.random.uniform(KEY, (2, 3, 16, 16))
+    loss, _ = vae.forward(p, s, img, return_loss=True)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: vae.forward(p, s, img, return_loss=True)[0])(p)
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads["enc"]))
+    assert gmax > 0
+    # checkpoint hygiene: perceptual net excluded from eval params
+    assert "vgg" not in vae.eval_params(p)
+
+
 def test_eval_params_strips_gan():
     vae = tiny_vae(use_vgg_and_gan=True, perceptual="none")
     p = vae.init(KEY)
