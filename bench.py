@@ -115,6 +115,175 @@ def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=32, seed=0):
     return {"frames_per_sec": batch / dt, "roundtrip_seconds": dt}
 
 
+_V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (for the MFU estimate)
+
+
+def _flops_of(compiled):
+    """XLA-reported flops of a compiled executable, or None."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def bench_train_step(frames=10, fmap=16, dim=512, depth=6, heads=8,
+                     dim_head=64, batch=2, text_len=32, seed=0):
+    """Training step at BASELINE config #3 scale: 10 frames of fmap-16
+    tokens (128px through a 3-layer VAE), kernel (5,3,3), dilations
+    (1,2,4), shift_video_tokens, reversible decoder, bf16 activations.
+    Reports ms/step, train tokens/sec and an XLA-counted MFU."""
+    import optax
+
+    from nuwa_tpu.models import NUWA
+    from nuwa_tpu.train.optimizer import get_optimizer
+
+    model = NUWA(
+        dim=dim,
+        image_size=fmap,
+        num_image_tokens=1024,
+        max_video_frames=frames,
+        text_num_tokens=49408,
+        text_max_seq_len=text_len,
+        text_enc_depth=2,
+        text_enc_dim_head=dim_head,
+        text_enc_heads=heads,
+        dec_depth=depth,
+        dec_dim_head=dim_head,
+        dec_heads=heads,
+        dec_reversible=True,
+        sparse_3dna_kernel_size=(5, 3, 3),
+        sparse_3dna_dilation=(1, 2, 4),
+        sparse_3dna_rel_pos_bias=True,
+        shift_video_tokens=True,
+        compute_dtype="bfloat16",
+    )
+    params = model.init(jax.random.PRNGKey(seed))
+    tx = get_optimizer(lr=3e-4, wd=0.01, params=params, max_grad_norm=0.5)
+    opt = tx.init(params)
+    tokens = frames * model.tokens_per_frame
+    text = jnp.ones((batch, text_len), jnp.int32)
+    video = jnp.zeros((batch, tokens), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p, key):
+        return model.forward(
+            p, text=text, video=video, return_loss=True, key=key, train=True
+        )
+
+    def step(p, opt, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, key, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    compiled = jstep.lower(params, opt, key).compile()
+    flops = _flops_of(compiled)
+    p2, opt2, key, loss = compiled(params, opt, key)
+    _sync(loss)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        p2, opt2, key, loss = compiled(p2, opt2, key)
+        _sync(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    out = {
+        "ms_per_step": dt * 1e3,
+        "train_tokens_per_sec": batch * tokens / dt,
+        "tokens": tokens,
+    }
+    if flops:
+        out["xla_flops_per_step"] = flops
+        out["mfu"] = flops / dt / _V5E_BF16_PEAK
+    return out
+
+
+def bench_dual_train_step(frames=4, fmap=8, dim=512, depth=12, heads=8,
+                          dim_head=64, batch=2, text_len=32, audio_tpf=32):
+    """Deeper dual video+audio reversible decoder training step."""
+    import optax
+
+    from nuwa_tpu.models import NUWAVideoAudio
+    from nuwa_tpu.train.optimizer import get_optimizer
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    # tiny frozen codec: the dual decoder takes integer indices in the
+    # bench, so the VAE only contributes embeddings/logit sizes
+    vae = VQGanVAE(
+        dim=16, image_size=fmap * 4, num_layers=2, vq_codebook_size=1024,
+        vq_codebook_dim=64, use_vgg_and_gan=False, vq_kmeans_init=False,
+        use_attn=False, num_resnet_blocks=0, resnet_groups=8,
+    )
+    model = NUWAVideoAudio(
+        vae=vae,
+        dim=dim,
+        image_size=fmap * 4,
+        num_audio_tokens=1024,
+        num_audio_tokens_per_video_frame=audio_tpf,
+        max_video_frames=frames,
+        text_num_tokens=49408,
+        text_max_seq_len=text_len,
+        text_enc_depth=2,
+        text_enc_dim_head=dim_head,
+        text_enc_heads=heads,
+        dec_depth=depth,
+        dec_dim_head=dim_head,
+        dec_heads=heads,
+        dec_reversible=True,
+        sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=(1, 2),
+        shift_video_tokens=True,
+        compute_dtype="bfloat16",
+    )
+    vkey = jax.random.PRNGKey(7)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        vae_params=vae.init(vkey),
+        vae_state=vae.init_state(vkey),
+    )
+    tx = get_optimizer(lr=3e-4, wd=0.01, params=params, max_grad_norm=0.5)
+    opt = tx.init(params)
+    vtok = frames * model.num_video_tokens_per_frame
+    atok = frames * audio_tpf
+    text = jnp.ones((batch, text_len), jnp.int32)
+    video = jnp.zeros((batch, vtok), jnp.int32)
+    audio = jnp.zeros((batch, atok), jnp.int32)
+
+    def loss_fn(p, key):
+        return model.forward(
+            p, text=text, video=video, audio=audio, return_loss=True,
+            key=key, train=True,
+        )
+
+    def step(p, opt, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, key, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+    p2, opt2, key, loss = jstep(params, opt, key)
+    _sync(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p2, opt2, key, loss = jstep(p2, opt2, key)
+        _sync(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "ms_per_step": dt * 1e3,
+        "train_tokens_per_sec": batch * (vtok + atok) / dt,
+        "depth": depth,
+    }
+
+
 def bench_torch_cpu_decode(frames=4, fmap=8, dim=512, depth=6, heads=8,
                            text_len=32, probe_steps=8):
     """PyTorch-CPU baseline probe: a dense causal transformer decoder of the
@@ -195,6 +364,29 @@ def main():
         "ar_config": ar["config"],
         "platform": jax.devices()[0].platform,
     }
+
+    # BASELINE-scale extras (each guarded: a failure must not kill the
+    # headline metric)
+    try:
+        b8 = bench_ar_decode(batch=8)
+        line["ar_tokens_per_sec_b8"] = round(b8["tokens_per_sec"], 2)
+    except Exception as e:  # pragma: no cover
+        line["ar_b8_error"] = repr(e)[:200]
+    try:
+        tr = bench_train_step()
+        line["train_ms_per_step_10f_fmap16_reversible"] = round(tr["ms_per_step"], 2)
+        line["train_tokens_per_sec"] = round(tr["train_tokens_per_sec"], 2)
+        if "mfu" in tr:
+            line["train_mfu"] = round(tr["mfu"], 4)
+    except Exception as e:  # pragma: no cover
+        line["train_error"] = repr(e)[:200]
+    try:
+        du = bench_dual_train_step()
+        line["dual_train_ms_per_step_depth12"] = round(du["ms_per_step"], 2)
+        line["dual_train_tokens_per_sec"] = round(du["train_tokens_per_sec"], 2)
+    except Exception as e:  # pragma: no cover
+        line["dual_train_error"] = repr(e)[:200]
+
     print(json.dumps(line))
 
 

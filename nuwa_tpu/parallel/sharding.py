@@ -29,12 +29,17 @@ _TP_RULES = (
     (r"(to_q|to_kv|to_qkv|w_in)/w$", lambda nd: P(None, "model") if nd == 2 else P()),
     # row-parallel projections (shard input features)
     (r"(to_out|w_out)/w$", lambda nd: P("model", None) if nd == 2 else P()),
-    # logits heads / embedding tables: shard the large vocab/feature dim
+    # logits heads: shard the vocab (output) dim — the big matmul splits
+    # column-parallel and cross-entropy reduces with XLA collectives
     (r"to_logits$", lambda nd: P(None, "model")),
     (r"to_video_logits$", lambda nd: P(None, "model")),
     (r"to_audio_logits$", lambda nd: P(None, "model")),
+    # embedding tables: shard the *feature* axis, NOT the vocab axis — a
+    # vocab-sharded table turns every jnp.take of a hot row into a
+    # cross-device gather; feature-sharded lookups are local per device and
+    # the activation arrives already feature-sharded for the first matmul
     (r"(text_embedding|image_embedding|audio_embedding|sketch_embedding)/table$",
-     lambda nd: P("model", None)),
+     lambda nd: P(None, "model")),
     # null kv: per-head params — shard the head axis
     (r"null_[kv]$", lambda nd: P("model", None, None) if nd == 3 else P()),
 )

@@ -74,6 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--out", type=str, default=str(REPO / "docs"))
+    ap.add_argument("--no-gan", action="store_true",
+                    help="plain recon+VQ codec (skip GAN + perceptual)")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -82,10 +84,15 @@ def main():
     make_batch = device_batch_fn(frames=frames)
 
     # ---- 1. codec ---------------------------------------------------------
+    # full GAN mode with the random-feature perceptual loss (the documented
+    # no-pretrained-weights stand-in for torchvision VGG16 — see
+    # nuwa_tpu/perceptual.py); --no-gan selects the plain recon+VQ path
+    use_gan = not args.no_gan
     vae = VQGanVAE(
         dim=32, image_size=64, num_layers=3, vq_codebook_size=256,
-        vq_codebook_dim=32, use_vgg_and_gan=False, resnet_groups=8,
-        use_attn=False, num_resnet_blocks=1, vq_kmeans_init=True,
+        vq_codebook_dim=32, use_vgg_and_gan=use_gan, perceptual="random_vgg",
+        resnet_groups=8, use_attn=False, num_resnet_blocks=1,
+        vq_kmeans_init=True,
     )
     vp = vae.init(jax.random.PRNGKey(0))
     vs = vae.init_state(jax.random.PRNGKey(1))["vq"]
@@ -94,29 +101,62 @@ def main():
 
     from nuwa_tpu.train.optimizer import get_optimizer
 
-    vtx = get_optimizer(lr=3e-4, wd=0.0, params=vp, frozen_keys=())
-    vopt = vtx.init(vp)
+    def split_gan(p):
+        gen = {k: v for k, v in p.items() if k != "discr"}
+        return gen, p.get("discr")
+
+    gen0, discr0 = split_gan(vp)
+    vtx = get_optimizer(lr=3e-4, wd=0.0, params=gen0, frozen_keys=())
+    vopt = vtx.init(gen0)
+    dtx = get_optimizer(lr=3e-4, wd=0.0, params=discr0, frozen_keys=()) if use_gan else None
+    dopt = dtx.init(discr0) if use_gan else None
 
     @jax.jit
-    def vae_step(p, s, opt, key):
-        dkey, rng_key = jax.random.split(key)
+    def vae_step(p, s, opt, dopt, key):
+        dkey, dkey2, rng_key = jax.random.split(key, 3)
         _, vids = make_batch(dkey)
         imgs = vids.reshape(-1, 3, 64, 64)
+        gen, discr = split_gan(p)
 
-        def loss_fn(p, s):
-            loss, s2 = vae.forward(p, {"vq": s}, imgs, return_loss=True, rng=rng_key)
+        def gen_loss_fn(gen, s):
+            params = dict(gen)
+            if discr is not None:
+                params["discr"] = jax.lax.stop_gradient(discr)
+            loss, s2 = vae.forward(params, {"vq": s}, imgs, return_loss=True, rng=rng_key)
             return loss, s2["vq"]
 
-        (loss, s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
-        updates, opt = vtx.update(grads, opt, p)
-        return optax.apply_updates(p, updates), s, opt, loss
+        (loss, s), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(gen, s)
+        updates, opt = vtx.update(grads, opt, gen)
+        gen = optax.apply_updates(gen, updates)
+
+        dloss = jnp.asarray(0.0)
+        if discr is not None:
+            _, vids2 = make_batch(dkey2)
+            imgs2 = vids2.reshape(-1, 3, 64, 64)
+
+            def discr_loss_fn(discr):
+                params = dict(jax.lax.stop_gradient(gen))
+                params["discr"] = discr
+                return vae.forward(params, {"vq": s}, imgs2, return_discr_loss=True)
+
+            dloss, dgrads = jax.value_and_grad(discr_loss_fn)(discr)
+            dupdates, dopt = dtx.update(dgrads, dopt, discr)
+            discr = optax.apply_updates(discr, dupdates)
+
+        p = dict(gen)
+        if discr is not None:
+            p["discr"] = discr
+        return p, s, opt, dopt, loss, dloss
 
     key = jax.random.PRNGKey(2)
     for step in range(args.steps):
         key, sub = jax.random.split(key)
-        vp, vs, vopt, loss = vae_step(vp, vs, vopt, sub)
+        vp, vs, vopt, dopt, loss, dloss = vae_step(vp, vs, vopt, dopt, sub)
         if step % 100 == 0:
-            print(f"vae step {step}: loss {float(loss):.4f}", flush=True)
+            msg = f"vae step {step}: loss {float(loss):.4f}"
+            if use_gan:
+                msg += f" discr {float(dloss):.4f}"
+            print(msg, flush=True)
     print(f"vae final loss {float(loss):.4f}", flush=True)
 
     # reconstruction artifact (render on device, fetch the small grid once)
