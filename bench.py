@@ -284,6 +284,41 @@ def bench_dual_train_step(frames=4, fmap=8, dim=512, depth=12, heads=8,
     }
 
 
+def bench_ar_decode_int8(frames=4, fmap=8, dim=512, depth=6, heads=8,
+                         dim_head=64, text_len=32, batch=1, seed=0):
+    """Cached AR decode with int8 weight-only quantized projections/heads
+    (serving path: per-token decode is weight-bandwidth-bound)."""
+    from nuwa_tpu.models import NUWA
+    from nuwa_tpu.utils.quantize import quantize_params_int8
+
+    model = NUWA(
+        dim=dim, image_size=fmap, num_image_tokens=1024,
+        max_video_frames=frames, text_num_tokens=49408,
+        text_max_seq_len=text_len, text_enc_depth=2,
+        text_enc_dim_head=dim_head, text_enc_heads=heads, dec_depth=depth,
+        dec_dim_head=dim_head, dec_heads=heads, sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=2, shift_video_tokens=True,
+        compute_dtype="bfloat16",
+    )
+    params = quantize_params_int8(model.init(jax.random.PRNGKey(seed)))
+    text = jnp.ones((batch, text_len), jnp.int32)
+    total_tokens = frames * model.tokens_per_frame
+    gen = jax.jit(
+        lambda p, text, key: jnp.sum(
+            model.generate(p, text=text, key=key, decode_video=False,
+                           cond_scale=2.0, method="cached")
+        )
+    )
+    _sync(gen(params, text, jax.random.PRNGKey(0)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(gen(params, text, jax.random.PRNGKey(i + 1)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {"tokens_per_sec": batch * total_tokens / dt}
+
+
 def bench_torch_cpu_decode(frames=4, fmap=8, dim=512, depth=6, heads=8,
                            text_len=32, probe_steps=8):
     """PyTorch-CPU baseline probe: a dense causal transformer decoder of the
@@ -372,6 +407,11 @@ def main():
         line["ar_tokens_per_sec_b8"] = round(b8["tokens_per_sec"], 2)
     except Exception as e:  # pragma: no cover
         line["ar_b8_error"] = repr(e)[:200]
+    try:
+        q8 = bench_ar_decode_int8()
+        line["ar_tokens_per_sec_int8"] = round(q8["tokens_per_sec"], 2)
+    except Exception as e:  # pragma: no cover
+        line["ar_int8_error"] = repr(e)[:200]
     try:
         tr = bench_train_step()
         line["train_ms_per_step_10f_fmap16_reversible"] = round(tr["ms_per_step"], 2)

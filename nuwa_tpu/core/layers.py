@@ -85,7 +85,15 @@ class Dense(Module):
 
     def __call__(self, p, x):
         dtype = self.dtype or x.dtype
-        out = jnp.dot(x.astype(dtype), p["w"].astype(dtype))
+        w = p["w"]
+        if "w_scale" in p:
+            # int8 weight-only quantization (serving): dequantize per output
+            # channel; XLA fuses the convert+scale into the dot's operand
+            # read, so HBM weight traffic drops ~2x vs bf16 / 4x vs fp32
+            w = w.astype(dtype) * p["w_scale"].astype(dtype)
+        else:
+            w = w.astype(dtype)
+        out = jnp.dot(x.astype(dtype), w)
         if self.use_bias:
             out = out + p["b"].astype(dtype)
         return out

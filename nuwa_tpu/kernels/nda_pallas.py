@@ -162,17 +162,29 @@ def _kernel(
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
 
+    # prefetch every tap's K and V up front: the DMA engine runs ahead of
+    # the MXU instead of serializing a start->wait round trip per tap
+    k_cps, v_cps = [], []
+    for j in range(Kf):
+        g = tap_src_frame(j)
+        start = (g + LB) * HW
+        cpk = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(start, HW), :], kbuf.at[j], sem.at[j]
+        )
+        cpk.start()
+        k_cps.append(cpk)
+        cpv = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(start, HW), :], vbuf.at[j], sem.at[Kf + j]
+        )
+        cpv.start()
+        v_cps.append(cpv)
+
     # ---- pass 1: scores + running max (static tap loop) ---------------
     m_buf[...] = jnp.full((heads, HW), -1e30, jnp.float32)
     for j in range(Kf):
         g = tap_src_frame(j)
-        start = (g + LB) * HW
-        cp_k = pltpu.make_async_copy(
-            k_hbm.at[bi, :, pl.ds(start, HW), :], kbuf, sem.at[0]
-        )
-        cp_k.start()
-        cp_k.wait()
-        k = kbuf[...].astype(jnp.float32)  # (h, HW, d)
+        k_cps[j].wait()
+        k = kbuf[j].astype(jnp.float32)  # (h, HW, d)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -205,14 +217,8 @@ def _kernel(
 
     acc[...] = jnp.zeros((heads, HW, dim_head), jnp.float32)
     for j in range(Kf):
-        g = tap_src_frame(j)
-        start = (g + LB) * HW
-        cp_v = pltpu.make_async_copy(
-            v_hbm.at[bi, :, pl.ds(start, HW), :], vbuf, sem.at[1]
-        )
-        cp_v.start()
-        cp_v.wait()
-        v = vbuf[...].astype(jnp.float32)  # (h, HW, d)
+        v_cps[j].wait()
+        v = vbuf[j].astype(jnp.float32)  # (h, HW, d)
         attn = p_buf[j].astype(jnp.float32) * inv[..., None]  # (h, HW, HW)
         attn = _mix3(th_ref, attn, heads)
         acc[...] += jax.lax.dot_general(
@@ -298,23 +304,35 @@ def _rb_kernel(
         # window begins at padded row rb*R of tapped frame g
         return (g + LB) * HWp + rb * R * fw
 
-    def fetch_k(j):
+    # prefetch all taps' K/V windows once (K reused by both passes)
+    cps = []
+    for j in range(Kf):
         g = fi - j * df
-        cp = pltpu.make_async_copy(
-            k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf, sem.at[0]
+        cpk = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf.at[j],
+            sem.at[j],
         )
-        cp.start()
-        cp.wait()
-        return kbuf[...].astype(f32)
+        cpk.start()
+        cpv = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], vbuf.at[j],
+            sem.at[Kf + j],
+        )
+        cpv.start()
+        cps.append((cpk, cpv))
+    k_waited = [False] * Kf
+    v_waited = [False] * Kf
+
+    def fetch_k(j):
+        if not k_waited[j]:
+            cps[j][0].wait()
+            k_waited[j] = True
+        return kbuf[j].astype(f32)
 
     def fetch_v(j):
-        g = fi - j * df
-        cp = pltpu.make_async_copy(
-            v_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], vbuf, sem.at[1]
-        )
-        cp.start()
-        cp.wait()
-        return vbuf[...].astype(f32)
+        if not v_waited[j]:
+            cps[j][1].wait()
+            v_waited[j] = True
+        return vbuf[j].astype(f32)
 
     def tap_scores(j, kmat):
         g = fi - j * df
@@ -415,20 +433,29 @@ def _bwd_q_kernel(
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
 
-    def fetch(j):
+    # prefetch all taps' K/V once (reused by both passes); the DMA engine
+    # overlaps the copies with the first matmuls
+    cps = []
+    for j in range(Kf):
         g = tap_src_frame(j)
         start = (g + LB) * HW
-        cp_k = pltpu.make_async_copy(
-            k_hbm.at[bi, :, pl.ds(start, HW), :], kbuf, sem.at[0]
+        cpk = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(start, HW), :], kbuf.at[j], sem.at[j]
         )
-        cp_k.start()
-        cp_v = pltpu.make_async_copy(
-            v_hbm.at[bi, :, pl.ds(start, HW), :], vbuf, sem.at[1]
+        cpk.start()
+        cpv = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(start, HW), :], vbuf.at[j], sem.at[Kf + j]
         )
-        cp_v.start()
-        cp_k.wait()
-        cp_v.wait()
-        return kbuf[...].astype(f32), vbuf[...].astype(f32)
+        cpv.start()
+        cps.append((cpk, cpv))
+    waited = [False] * Kf
+
+    def fetch(j):
+        if not waited[j]:
+            cps[j][0].wait()
+            cps[j][1].wait()
+            waited[j] = True
+        return kbuf[j].astype(f32), vbuf[j].astype(f32)
 
     def tap_p_dp(j, kmat, vmat):
         """Recompute P_j = exp(S_j - lse) and the mixed cotangent dP_j."""
@@ -714,12 +741,12 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpa
             jax.ShapeDtypeStruct((b, h, F * HW), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, HW, d), q.dtype),            # kbuf (matches DMA src)
-            pltpu.VMEM((h, HW, d), q.dtype),            # vbuf
+            pltpu.VMEM((kf, h, HW, d), q.dtype),        # kbuf, one slot per tap
+            pltpu.VMEM((kf, h, HW, d), q.dtype),        # vbuf
             pltpu.VMEM((kf, h, HW, HW), _CACHE_DTYPE),  # p_buf
             pltpu.VMEM((h, HW), jnp.float32),           # m_buf
             pltpu.VMEM((h, HW, d), jnp.float32),        # acc
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2 * kf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -786,9 +813,9 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             jax.ShapeDtypeStruct((kf, h), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, HW, d), q.dtype),            # kbuf
-            pltpu.VMEM((h, HW, d), q.dtype),            # vbuf
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((kf, h, HW, d), q.dtype),        # kbuf, one slot per tap
+            pltpu.VMEM((kf, h, HW, d), q.dtype),        # vbuf
+            pltpu.SemaphoreType.DMA((2 * kf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -970,10 +997,10 @@ def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
             jax.ShapeDtypeStruct((b, h, F * geo["HW"]), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, Wfw, d), q.dtype),           # kbuf
-            pltpu.VMEM((h, Wfw, d), q.dtype),           # vbuf
+            pltpu.VMEM((kf, h, Wfw, d), q.dtype),       # kbuf, one slot per tap
+            pltpu.VMEM((kf, h, Wfw, d), q.dtype),       # vbuf
             pltpu.VMEM((h, Rfw, d), jnp.float32),       # acc
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2 * kf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.quantize import dequant
 from ..ops.sampling import gumbel_sample, top_k_filter
 
 
@@ -51,7 +52,7 @@ def cached_ar_rollout(
         if use_cfg:
             x_i = jnp.concatenate([x_i, x_i], axis=0)
         y, caches = dec.step(p_transformer, caches, x_i, i)
-        logits = jnp.dot(y, to_logits)
+        logits = jnp.dot(y, dequant(to_logits, y.dtype))
         if use_cfg:
             cond, uncond = logits[:batch], logits[batch:]
             logits = uncond + (cond - uncond) * cond_scale

@@ -229,7 +229,9 @@ class NUWA(Module):
         )
         # logits matmul in the compute dtype (vocab dim is the big one);
         # cross_entropy upcasts to fp32 before the softmax
-        return jnp.dot(out, p["to_logits"].astype(out.dtype))
+        from ..utils.quantize import dequant
+
+        return jnp.dot(out, dequant(p["to_logits"], out.dtype))
 
     # ---- training forward -------------------------------------------------
 

@@ -213,7 +213,9 @@ class NUWASketch(Module):
             p["video_transformer"], emb, context=sketch_embeds,
             context_mask=context_mask, key=key,
         )
-        return jnp.dot(out, p["to_logits"].astype(out.dtype))
+        from ..utils.quantize import dequant
+
+        return jnp.dot(out, dequant(p["to_logits"], out.dtype))
 
     # ---- training forward -------------------------------------------------
 

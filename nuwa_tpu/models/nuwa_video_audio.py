@@ -24,6 +24,7 @@ from ..core.layers import Embedding, Module, normal_init
 from ..dual_decoder import DualModalityDecoder, ReversibleDualModalityDecoder
 from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
 from ..ops.sampling import gumbel_sample, prob_mask_like, top_k_filter
+from ..utils.quantize import dequant
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
 from .nuwa import cross_entropy
@@ -221,8 +222,8 @@ class NUWAVideoAudio(Module):
             context=text_embeds, context_mask=text_mask, key=key,
         )
         return (
-            jnp.dot(v, p["to_video_logits"].astype(v.dtype)),
-            jnp.dot(a, p["to_audio_logits"].astype(a.dtype)),
+            jnp.dot(v, dequant(p["to_video_logits"], v.dtype)),
+            jnp.dot(a, dequant(p["to_audio_logits"], a.dtype)),
         )
 
     # ---- training forward -------------------------------------------------
@@ -339,7 +340,7 @@ class NUWAVideoAudio(Module):
 
         # prime the audio tower with its bos (position 0)
         y0, caches = dec.step_audio(ptr, caches, audio_input(0, jnp.zeros((b,), jnp.int32)), jnp.asarray(0))
-        pending0 = cfg_mix(jnp.dot(y0, p["to_audio_logits"].astype(y0.dtype)))
+        pending0 = cfg_mix(jnp.dot(y0, dequant(p["to_audio_logits"], y0.dtype)))
 
         # Per-frame two-phase rollout: an outer scan over frames with an inner
         # video-token scan then an inner audio-token scan. The modality
@@ -360,7 +361,7 @@ class NUWAVideoAudio(Module):
             )
             x_i = widen(jnp.where(vp == 0, bos, emb))
             y, caches = dec.step_video(ptr, caches, x_i, vp)
-            logits = cfg_mix(jnp.dot(y, p["to_video_logits"].astype(y.dtype)))
+            logits = cfg_mix(jnp.dot(y, dequant(p["to_video_logits"], y.dtype)))
             filtered = top_k_filter(logits, thres=filter_thres)
             sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
             vbuf = vbuf.at[:, vp].set(sample)
@@ -375,7 +376,7 @@ class NUWAVideoAudio(Module):
             abuf = abuf.at[:, ap].set(sample)
             # peek-step the next audio input position (embedding of `sample`)
             y, caches = dec.step_audio(ptr, caches, audio_input(ap + 1, sample), ap + 1)
-            pending = cfg_mix(jnp.dot(y, p["to_audio_logits"].astype(y.dtype)))
+            pending = cfg_mix(jnp.dot(y, dequant(p["to_audio_logits"], y.dtype)))
             return (caches, pending, prev_v, vbuf, abuf, key, f), None
 
         def frame_step(carry, f):

@@ -535,19 +535,24 @@ class Sparse3DNA(Module):
         # backend='auto' on TPU prefers the fused Pallas kernels (measured
         # faster than the dense XLA path both forward and fwd+bwd on v5e —
         # docs/BENCHMARKS.md); CPU and constrained shapes fall through to XLA.
-        want_pallas = self.use_pallas or (
-            self.backend == "auto"
-            and jax.default_backend() == "tpu"
-            # sublane alignment: the kernels DMA (h, HW, d) tiles
-            and tokens_per_frame % 8 == 0
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        want_pallas = self.use_pallas or (self.backend == "auto" and on_tpu)
         if tokens_per_frame <= 256:
-            pallas_ok = want_pallas and key_ok
+            # Mosaic lane rule: the (1, h, HW) lse block needs HW % 128 == 0
+            # in compiled mode (interpret mode on CPU has no such limit). At
+            # small fmaps the attention op is a negligible share anyway —
+            # round-1 measured all backends tying at fmap 8.
+            shape_ok = tokens_per_frame % 128 == 0 or not on_tpu
+            pallas_ok = want_pallas and key_ok and shape_ok
         else:
             # large fmaps: row-blocked kernel (causal, fmap width <= 256)
             from .kernels.nda_pallas import rb_row_block
 
-            pallas_ok = want_pallas and key_ok and rb_row_block(self) is not None
+            R = rb_row_block(self)
+            shape_ok = R is not None and (
+                (R * self.video_shape[2]) % 128 == 0 or not on_tpu
+            )
+            pallas_ok = want_pallas and key_ok and shape_ok
         if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas_vjp
 

@@ -1,0 +1,83 @@
+"""int8 weight-only serving path (nuwa_tpu/utils/quantize.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nuwa_tpu.core.layers import Dense
+from nuwa_tpu.models import NUWA
+from nuwa_tpu.utils.quantize import dequant, quantize_params_int8
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_nuwa():
+    return NUWA(
+        dim=32,
+        image_size=4,
+        num_image_tokens=64,
+        max_video_frames=2,
+        text_num_tokens=32,
+        text_max_seq_len=16,
+        text_enc_depth=1,
+        text_enc_dim_head=16,
+        text_enc_heads=2,
+        dec_depth=2,
+        dec_dim_head=16,
+        dec_heads=2,
+        shift_video_tokens=False,
+    )
+
+
+def test_dense_dequant_exact():
+    d = Dense(8, 16, use_bias=True)
+    p = d.init(KEY)
+    q = quantize_params_int8({"to_q": p})["to_q"]
+    assert q["w"].dtype == jnp.int8
+    x = jax.random.normal(KEY, (4, 8))
+    ref = x @ (np.asarray(q["w"], np.float32) * np.asarray(q["w_scale"])) + np.asarray(p["b"])
+    out = d(q, x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_tree_selectivity():
+    model = tiny_nuwa()
+    p = model.init(KEY)
+    qp = quantize_params_int8(p)
+    # projection weights quantized
+    layer0 = qp["video_transformer"]["layers"][0]["inner"]
+    assert layer0["to_q"]["w"].dtype == jnp.int8
+    assert "w_scale" in layer0["to_q"]
+    # logits head quantized into a dict
+    assert qp["to_logits"]["w"].dtype == jnp.int8
+    # norms / embeddings / bos untouched
+    assert qp["video_transformer"]["layers"][0]["pre"]["g"].dtype == jnp.float32
+    assert qp["image_embedding"]["table"].dtype == jnp.float32
+    assert qp["video_bos"].dtype == jnp.float32
+    # int8 error bounded per channel
+    w = np.asarray(p["to_logits"])
+    wq = np.asarray(dequant(qp["to_logits"]))
+    np.testing.assert_allclose(wq, w, atol=np.abs(w).max() / 100)
+
+
+def test_quantized_forward_logits_close():
+    model = tiny_nuwa()
+    p = model.init(KEY)
+    qp = quantize_params_int8(p)
+    text = jnp.array([[1, 2, 3, 0]])
+    idx = jax.random.randint(KEY, (1, 2 * model.tokens_per_frame), 0, 64)
+    ref = np.asarray(model.forward(p, text=text, video=idx))
+    out = np.asarray(model.forward(qp, text=text, video=idx))
+    # int8 weight-only: small logits perturbation
+    assert np.abs(out - ref).max() < 0.15 * np.abs(ref).max()
+
+
+def test_quantized_generate_runs():
+    model = tiny_nuwa()
+    p = model.init(KEY)
+    qp = quantize_params_int8(p)
+    text = jnp.array([[1, 2, 3, 0]])
+    idx = model.generate(
+        qp, text=text, key=KEY, decode_video=False, cond_scale=2.0
+    )
+    assert idx.shape == (1, 2 * model.tokens_per_frame)
+    assert int(idx.min()) >= 0 and int(idx.max()) < 64
