@@ -302,6 +302,39 @@ def test_nuwa_trainer_steps(tmp_path):
     assert min(losses[-3:]) < losses[0]
 
 
+def test_nuwa_trainer_bf16_mixed_precision(tmp_path):
+    """Training through the public trainer with compute_dtype='bfloat16':
+    losses stay finite and close to fp32, params remain fp32 masters."""
+    from nuwa_tpu.models import NUWA
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    def mk(folder, dtype):
+        model = NUWA(
+            dim=16, image_size=2, num_image_tokens=16, max_video_frames=2,
+            text_num_tokens=32, text_enc_depth=1, text_enc_dim_head=8,
+            text_enc_heads=2, dec_depth=1, dec_dim_head=8, dec_heads=2,
+            shift_video_tokens=False, compute_dtype=dtype,
+        )
+        params = model.init(KEY)
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=2 * 4, vocab=16),
+            num_train_steps=3, batch_size=2, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=3, resume=False,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t32, t16 = mk(tmp_path / "f32", None), mk(tmp_path / "bf16", "bfloat16")
+    l32, l16 = [], []
+    t32.train(log_fn=lambda logs: l32.append(logs["loss"]))
+    t16.train(log_fn=lambda logs: l16.append(logs["loss"]))
+    np.testing.assert_allclose(l16, l32, rtol=3e-2)
+    for leaf in jax.tree.leaves(t16.state["params"]):
+        assert leaf.dtype == jnp.float32
+
+
 def test_resume_reproduces_straight_run(tmp_path):
     """Crash-resume fidelity: train 4 steps straight vs 2 + resume + 2 — the
     restored trainer must produce identical parameters."""
