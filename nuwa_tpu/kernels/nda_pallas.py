@@ -381,6 +381,277 @@ def _rb_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _rb_bwd_mask_and_selector(fw, kh, kw, dh, dw, R, NB):
+    """Static key-block-vs-query-block masks for the row-blocked backward.
+
+    For key block rows [rk0, rk0+R) the contributing query blocks start at
+    rk0 + rbq*R for rbq in [0, NB); relative row offset dy = kl - rbq*R - ql
+    is block-index independent, so one (NB, R*fw, R*fw) mask covers all."""
+    Rfw = R * fw
+    mask = np.zeros((NB, Rfw, Rfw), dtype=bool)
+    sel = np.zeros((NB, Rfw, Rfw, kh * kw), dtype=np.float32)
+    for rbq in range(NB):
+        for ql in range(R):
+            for qx in range(fw):
+                qi = ql * fw + qx
+                for b in range(kh):
+                    dy = (b - (kh - 1)) * dh  # causal: dy <= 0
+                    kl = ql + rbq * R + dy
+                    if kl < 0 or kl >= R:
+                        continue
+                    for c in range(kw):
+                        kx = qx + (c - (kw - 1)) * dw
+                        if 0 <= kx < fw:
+                            ki = kl * fw + kx
+                            mask[rbq, qi, ki] = True
+                            sel[rbq, qi, ki, b * kw + c] = 1.0
+    return mask, sel
+
+
+def _rb_bwd_q_kernel(
+    q_ref,        # (1, h, Rfw, d)
+    g_ref,        # (1, h, Rfw, d)
+    lse_ref,      # (1, h, Rfw)
+    kbos_ref,     # (1, h, 1, d)
+    vbos_ref,     # (1, h, 1, d)
+    mask_ref,     # (Rfw, Wfw)
+    sbias_ref,    # (hb, Rfw, Wfw)
+    fbias_ref,    # (h, Kf) SMEM
+    th_ref,       # (h, h) SMEM
+    k_hbm,        # row+frame padded ANY
+    v_hbm,        # ANY
+    dq_ref, rho_ref, dkbos_ref, dvbos_ref, dth_ref, dsb_ref, dfb_ref,
+    kbuf, vbuf, sem,
+    *,
+    Kf: int,
+    df: int,
+    LB: int,
+    HW: int,
+    HWp: int,
+    R: int,
+    fw: int,
+    prow: int,
+    Rfw: int,
+    Wfw: int,
+    heads: int,
+    t_valid: int,
+    rel_pos: bool,
+):
+    bi = pl.program_id(0)
+    fi = pl.program_id(1)
+    rb = pl.program_id(2)
+    f32 = jnp.float32
+
+    q = q_ref[0].astype(f32)
+    go = g_ref[0].astype(f32)
+    lse = lse_ref[0].astype(f32)
+    kbos = kbos_ref[0].astype(f32)
+    vbos = vbos_ref[0].astype(f32)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Wfw), 1)
+
+    def window_start(g):
+        return (g + LB) * HWp + rb * R * fw
+
+    cps = []
+    for j in range(Kf):
+        g = fi - j * df
+        cpk = pltpu.make_async_copy(
+            k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf.at[j],
+            sem.at[j],
+        )
+        cpk.start()
+        cpv = pltpu.make_async_copy(
+            v_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], vbuf.at[j],
+            sem.at[Kf + j],
+        )
+        cpv.start()
+        cps.append((cpk, cpv))
+    waited = [False] * Kf
+
+    def fetch(j):
+        if not waited[j]:
+            cps[j][0].wait()
+            cps[j][1].wait()
+            waited[j] = True
+        return kbuf[j].astype(f32), vbuf[j].astype(f32)
+
+    def tap_p_dp(j, kmat, vmat):
+        g = fi - j * df
+        s = jax.lax.dot_general(
+            q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        s = s + mask_ref[...][None]
+        s = s + sbias_ref[...]
+        s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
+        krow = rb * R + kidx // fw - prow
+        tok = g * HW + krow * fw + kidx % fw
+        ok = jnp.logical_and(g >= 0, krow >= 0)
+        ok = jnp.logical_and(ok, tok < t_valid)
+        s = jnp.where(ok[None, :, :], s, -1e30)
+        s = s.astype(_CACHE_DTYPE).astype(f32)  # match the fwd's rounding
+        pj = jnp.exp(s - lse[..., None])
+        dA = jax.lax.dot_general(
+            go, vmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        dP = _mix3(th_ref, dA, heads, transpose=True)
+        return pj, dA, dP
+
+    s_bos = jnp.sum(q * kbos, axis=-1)
+    p_bos = jnp.exp(s_bos - lse)
+    dA_bos = jnp.sum(go * vbos, axis=-1)
+    dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+    rho = p_bos * dp_bos
+    for j in range(Kf):
+        kmat, vmat = fetch(j)
+        pj, _, dP = tap_p_dp(j, kmat, vmat)
+        rho = rho + jnp.sum(pj * dP, axis=-1)
+    rho_ref[0] = rho
+
+    ds_bos = p_bos * (dp_bos - rho)
+    dq_acc = ds_bos[..., None] * kbos
+    dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
+    dsb_acc = None
+    dfb_rows = []
+    for j in range(Kf):
+        kmat, vmat = fetch(j)
+        pj, dA, dP = tap_p_dp(j, kmat, vmat)
+        dS = pj * (dP - rho[..., None])
+        dq_acc = dq_acc + jax.lax.dot_general(
+            dS, kmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        if rel_pos:
+            dsb_acc = dS if dsb_acc is None else dsb_acc + dS
+            cols = [jnp.sum(dS[hh]).reshape(1, 1) for hh in range(heads)]
+            dfb_rows.append(jnp.concatenate(cols, axis=1))
+        dth_acc = dth_acc + _pair_contract(dA, pj, heads)
+
+    dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+
+    is_first = jnp.logical_and(
+        jnp.logical_and(bi == 0, fi == 0), rb == 0
+    )
+
+    @pl.when(is_first)
+    def _():
+        dth_ref[...] = jnp.zeros(dth_ref.shape, dth_ref.dtype)
+        dsb_ref[...] = jnp.zeros(dsb_ref.shape, dsb_ref.dtype)
+        dfb_ref[...] = jnp.zeros(dfb_ref.shape, dfb_ref.dtype)
+
+    dth_ref[...] += dth_acc
+    if rel_pos:
+        dsb_ref[...] += dsb_acc
+        dfb_ref[...] += jnp.concatenate(dfb_rows, axis=0)
+
+    @pl.when(jnp.logical_and(fi == 0, rb == 0))
+    def _():
+        dkbos_ref[...] = jnp.zeros(dkbos_ref.shape, dkbos_ref.dtype)
+        dvbos_ref[...] = jnp.zeros(dvbos_ref.shape, dvbos_ref.dtype)
+
+    dkbos_ref[0, :, 0, :] += _outer_hq_hqd(ds_bos, q).astype(dkbos_ref.dtype)
+    a_bos = _mix2(th_ref, p_bos, heads)
+    dvbos_ref[0, :, 0, :] += _outer_hq_hqd(a_bos, go).astype(dvbos_ref.dtype)
+
+
+def _rb_bwd_kv_kernel(
+    k_ref,        # (1, h, Rfw, d) — key row-block, unpadded layout
+    v_ref,
+    maskb_ref,    # (NB, Rfw, Rfw)
+    sbiasb_ref,   # (NB, hb, Rfw, Rfw)
+    fbias_ref,    # (h, Kf) SMEM
+    th_ref,       # (h, h) SMEM
+    q_hbm, g_hbm, lse_hbm, rho_hbm,  # ANY
+    dk_ref, dv_ref,
+    qbuf, gbuf, lsebuf, rhobuf, dk_s, dv_s, sem,
+    *,
+    Kf: int,
+    df: int,
+    HW: int,
+    R: int,
+    fw: int,
+    Rfw: int,
+    RB: int,
+    NB: int,
+    heads: int,
+    t_valid: int,
+    num_f: int,
+):
+    bi = pl.program_id(0)
+    gk = pl.program_id(1)
+    rbk = pl.program_id(2)
+    f32 = jnp.float32
+
+    kmat = k_ref[0].astype(f32)
+    vmat = v_ref[0].astype(f32)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Rfw), 1)
+    tok_ok = (gk * HW + rbk * Rfw + kidx) < t_valid
+
+    dk_s[...] = jnp.zeros(dk_s.shape, dk_s.dtype)
+    dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
+
+    for j in range(Kf):
+        fi = gk + j * df  # causal: the query frame whose tap j reads gk
+        for rbq in range(NB):
+            qb = rbk + rbq
+            cond = jnp.logical_and(fi < num_f, qb < RB)
+
+            @pl.when(cond)
+            def _(j=j, rbq=rbq, fi=fi, qb=qb):
+                start = fi * HW + qb * Rfw
+                cps = [
+                    pltpu.make_async_copy(
+                        q_hbm.at[bi, :, pl.ds(start, Rfw), :], qbuf, sem.at[0]
+                    ),
+                    pltpu.make_async_copy(
+                        g_hbm.at[bi, :, pl.ds(start, Rfw), :], gbuf, sem.at[1]
+                    ),
+                    pltpu.make_async_copy(
+                        lse_hbm.at[bi, :, pl.ds(start, Rfw)], lsebuf, sem.at[2]
+                    ),
+                    pltpu.make_async_copy(
+                        rho_hbm.at[bi, :, pl.ds(start, Rfw)], rhobuf, sem.at[3]
+                    ),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                qm = qbuf[...].astype(f32)
+                gm = gbuf[...].astype(f32)
+                lse = lsebuf[...].astype(f32)
+                rho = rhobuf[...].astype(f32)
+
+                s = jax.lax.dot_general(
+                    qm, kmat, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                s = s + maskb_ref[rbq][None]
+                s = s + sbiasb_ref[rbq]
+                s = jnp.stack(
+                    [s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0
+                )
+                s = jnp.where(tok_ok[None, :, :], s, -1e30)
+                s = s.astype(_CACHE_DTYPE).astype(f32)
+                pj = jnp.exp(s - lse[..., None])
+                dA = jax.lax.dot_general(
+                    gm, vmat, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                dP = _mix3(th_ref, dA, heads, transpose=True)
+                dS = pj * (dP - rho[..., None])
+                dk_s[...] += jax.lax.dot_general(
+                    dS, qm, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                a_mixed = _mix3(th_ref, pj, heads)
+                dv_s[...] += jax.lax.dot_general(
+                    a_mixed, gm, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+
+    dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # backward kernels (flash-style: recompute scores from the saved lse)
 # ---------------------------------------------------------------------------
@@ -1047,6 +1318,218 @@ def sizes_index(kernel):
     return [i for i, s in enumerate(kernel) if s > 1]
 
 
+def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
+                   fbias, th_w, kpad, vpad):
+    b, h = q.shape[0], q.shape[1]
+    d, kf, F = geo["d"], geo["kf"], geo["F"]
+    Rfw, Wfw, RB = geo["Rfw"], geo["Wfw"], geo["RB"]
+    hb = sbias.shape[0]
+    kernel = functools.partial(
+        _rb_bwd_q_kernel,
+        Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
+        R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
+        heads=h, t_valid=t, rel_pos=mod.rel_pos_bias,
+    )
+    qb_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb, 0)
+    l_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, F, RB),
+        in_specs=[
+            pl.BlockSpec((1, h, Rfw, d), qb_ix, memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, h, Rfw, d), qb_ix, memory_space=pltpu.VMEM),   # gout
+            pl.BlockSpec((1, h, Rfw), l_ix, memory_space=pltpu.VMEM),       # lse
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                          # k_bos
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                          # v_bos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                          # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # th
+            pl.BlockSpec(memory_space=pl.ANY),                           # kpad
+            pl.BlockSpec(memory_space=pl.ANY),                           # vpad
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, Rfw, d), qb_ix, memory_space=pltpu.VMEM),   # dq
+            pl.BlockSpec((1, h, Rfw), l_ix, memory_space=pltpu.VMEM),       # rho
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                          # dk_bos
+            pl.BlockSpec((1, h, 1, d), lambda bi, fi, rb: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                          # dv_bos
+            pl.BlockSpec((h, h), lambda bi, fi, rb: (0, 0),
+                         memory_space=pltpu.VMEM),                          # dth
+            pl.BlockSpec((hb, Rfw, Wfw), lambda bi, fi, rb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                          # dsbias
+            pl.BlockSpec((kf, h), lambda bi, fi, rb: (0, 0),
+                         memory_space=pltpu.VMEM),                          # dfbias
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"], d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"]), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((hb, Rfw, Wfw), jnp.float32),
+            jax.ShapeDtypeStruct((kf, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kf, h, Wfw, d), q.dtype),
+            pltpu.VMEM((kf, h, Wfw, d), q.dtype),
+            pltpu.SemaphoreType.DMA((2 * kf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+
+
+def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
+                    fbias, th_w):
+    b, h = q.shape[0], q.shape[1]
+    d, kf, F = geo["d"], geo["kf"], geo["F"]
+    Rfw, RB, NB = geo["Rfw"], geo["RB"], geo["NB"]
+    kernel = functools.partial(
+        _rb_bwd_kv_kernel,
+        Kf=kf, df=geo["df"], HW=geo["HW"], R=geo["R"], fw=geo["fw"],
+        Rfw=Rfw, RB=RB, NB=NB, heads=h, t_valid=t, num_f=F,
+    )
+    kb_ix = lambda bi, gk, rbk: (bi, 0, gk * RB + rbk, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, F, RB),
+        in_specs=[
+            pl.BlockSpec((1, h, Rfw, d), kb_ix, memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, h, Rfw, d), kb_ix, memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),                          # maskb
+            pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbiasb
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # th
+            pl.BlockSpec(memory_space=pl.ANY),                           # q
+            pl.BlockSpec(memory_space=pl.ANY),                           # gout
+            pl.BlockSpec(memory_space=pl.ANY),                           # lse
+            pl.BlockSpec(memory_space=pl.ANY),                           # rho
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, Rfw, d), kb_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, Rfw, d), kb_ix, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"], d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, F * geo["HW"], d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, Rfw, d), q.dtype),           # qbuf
+            pltpu.VMEM((h, Rfw, d), q.dtype),           # gbuf
+            pltpu.VMEM((h, Rfw), jnp.float32),          # lsebuf
+            pltpu.VMEM((h, Rfw), jnp.float32),          # rhobuf
+            pltpu.VMEM((h, Rfw, d), jnp.float32),       # dk accumulator
+            pltpu.VMEM((h, Rfw, d), jnp.float32),       # dv accumulator
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(k, v, maskb, sbiasb, fbias, th_w, q, gout, lse, rho)
+
+
+def _rb_bwd_bias_tensors(mod, geo, heads):
+    """Additive key-block masks + spatial bias for the kv backward kernel."""
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    R = geo["R"]
+    NB = (R - 1 + geo["prow"]) // R + 1
+    mask_np, sel_np = _rb_bwd_mask_and_selector(
+        geo["fw"], kh, kw, dh_, dw, R, NB
+    )
+    maskb = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+    return maskb, jnp.asarray(sel_np, jnp.float32), NB
+
+
+def _rb_core_op(mod, num_frames, t):
+    """custom_vjp core for the row-blocked (HW > 256, causal) kernels."""
+
+    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        geo = _rb_geometry(mod, num_frames, q.shape[-1])
+        maskf = _rb_static_mask(mod, geo)
+        kpad, vpad = _rb_pad_frames(geo, k, v)
+        return _rb_fwd_call(
+            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        geo = _rb_geometry(mod, num_frames, q.shape[-1])
+        maskf = _rb_static_mask(mod, geo)
+        kpad, vpad = _rb_pad_frames(geo, k, v)
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dsb, dfb = _rb_bwd_q_call(
+            mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
+            th_w, kpad, vpad,
+        )
+        maskb, sel_b, NB = _rb_bwd_bias_tensors(mod, geo, mod.heads)
+        geo["NB"] = NB
+        if mod.rel_pos_bias:
+            # per-block spatial bias in key-block coordinates, from the same
+            # axial tables the fwd sbias uses (non-differentiable here: the
+            # parameter cotangent flows through dsb from the q-side kernel)
+            hw_tab = _rb_hw_tab(mod, geo, sbias)
+            sbiasb = jnp.einsum("nqkt,th->nhqk", sel_b, hw_tab)
+        else:
+            sbiasb = jnp.zeros(
+                (NB, 1, geo["Rfw"], geo["Rfw"]), jnp.float32
+            )
+        dk, dv = _rb_bwd_kv_call(
+            mod, geo, t, q, gout, lse, rho, k, v, maskb,
+            jax.lax.stop_gradient(sbiasb), fbias, th_w,
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dsb.astype(sbias.dtype),
+            jnp.transpose(dfb).astype(fbias.dtype),
+            dth.astype(th_w.dtype),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _rb_static_mask(mod, geo):
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    mask_np, _ = _rb_mask_and_selector(
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+    )
+    return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+
+
+def _rb_hw_tab(mod, geo, sbias):
+    """(kh*kw, h) spatial bias table recovered from the scattered q-side
+    ``sbias`` via the one-hot forward selector (every tap's value is
+    constant across its scatter positions). Used only to evaluate kv-side
+    scores — parameter cotangents flow via the q-side dsb."""
+    kf, kh, kw = mod.kernel
+    df, dh_, dw = mod.dilations
+    _, sel_np = _rb_mask_and_selector(
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+    )
+    counts = np.maximum(sel_np.sum((0, 1)), 1.0)  # (kh*kw,)
+    tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
+    return tab / jnp.asarray(counts, jnp.float32)[:, None]
+
+
 # ---------------------------------------------------------------------------
 # differentiable op: pallas forward + true pallas backward (flash-style)
 # ---------------------------------------------------------------------------
@@ -1126,9 +1609,21 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
 
     HW = mod.video_shape[1] * mod.video_shape[2]
     if HW > 256:
-        # row-blocked forward; backward remats through the XLA chunked dense
-        # path (true row-blocked backward kernels: future work)
-        return sparse_3dna_pallas_vjp_remat(mod, num_frames, t)
+        # row-blocked kernels (causal): true flash backward as well
+        core = _rb_core_op(mod, num_frames, t)
+
+        def op_rb(p_sub, q, k, v, k_bos, v_bos):
+            d_orig = q.shape[-1]
+            geo = _rb_geometry(mod, num_frames, d_orig)
+            _, sbias, fbias, th_w = _rb_bias_tensors(mod, p_sub, mod.heads, geo)
+            q, k, v, k_bos, v_bos = _pad_d(
+                [q, k, v, k_bos, v_bos], d_orig, geo["d"]
+            )
+            out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+            return out[:, :, :t, :d_orig]
+
+        _VJP_CACHE[cache_key] = op_rb
+        return op_rb
 
     core = _core_op(mod, num_frames, t, mod.heads)
 

@@ -55,6 +55,34 @@ def main(frames=4, fmap=32, dim=512, heads=8, dim_head=64, batch=1):
         gmax = max(gmax, _sync(jnp.max(jnp.abs(a - b))))
     print(json.dumps({"grad_maxdiff": gmax}), flush=True)
 
+    # training-step comparison (fwd+bwd+AdamW, bf16 activations)
+    import optax
+    for name, m in (("dense_chunked", mod_xla), ("pallas_rb", mod_pl)):
+        pm = jax.tree.map(lambda x: x, p)
+        tx = optax.adamw(1e-4)
+        opt = tx.init(pm)
+        xb16 = x.astype(jnp.bfloat16)
+
+        def loss_fn(pp, _m=m):
+            return jnp.mean(_m(pp, xb16).astype(jnp.float32) ** 2)
+
+        @jax.jit
+        def tstep(pp, opt):
+            l, grads = jax.value_and_grad(loss_fn)(pp)
+            updates, opt = tx.update(grads, opt, pp)
+            return optax.apply_updates(pp, updates), opt, l
+
+        pm, opt, l = tstep(pm, opt)
+        _sync(l)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            pm, opt, l = tstep(pm, opt)
+            _sync(l)
+            times.append(time.perf_counter() - t0)
+        print(json.dumps({"backend": name, "train_ms": round(min(times) * 1e3, 2)}),
+              flush=True)
+
     # timing (bf16 activations, fwd only)
     xb = x.astype(jnp.bfloat16)
     for name, fn in (("dense_chunked", f_xla), ("pallas_rb", f_pl)):
