@@ -408,6 +408,11 @@ def main():
     except Exception as e:  # pragma: no cover
         line["ar_b8_error"] = repr(e)[:200]
     try:
+        vq64 = bench_vqvae(batch=64)
+        line["vqvae_frames_per_sec_256px_b64"] = round(vq64["frames_per_sec"], 2)
+    except Exception as e:  # pragma: no cover
+        line["vqvae_b64_error"] = repr(e)[:200]
+    try:
         q8 = bench_ar_decode_int8()
         line["ar_tokens_per_sec_int8"] = round(q8["tokens_per_sec"], 2)
     except Exception as e:  # pragma: no cover

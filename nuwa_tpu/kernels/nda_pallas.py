@@ -70,10 +70,26 @@ def _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, causal):
 # ---------------------------------------------------------------------------
 
 
+# head count at which the talking-heads mix switches from unrolled VPU
+# AXPYs (faster for small h; the matmul M-dim is only h) to one MXU dot
+# (O(h) work and trace size instead of O(h^2) — the 16+ heads regime)
+_MIX_DOT_MIN_HEADS = 16
+
+
+def _mix_dot(th_ref, mats, transpose):
+    th = th_ref[...].astype(jnp.float32)
+    cdim = 0 if transpose else 1
+    return jax.lax.dot_general(
+        th, mats, (((cdim,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _mix3(th_ref, mats, heads, transpose=False):
-    """Talking-heads mix of a (h, N, M) value via unrolled scalar AXPYs
-    (SMEM scalars; avoids reshapes Mosaic cannot lower).
-    mixed[a] = sum_b th[a,b] mats[b]  (or th[b,a] when transpose)."""
+    """Talking-heads mix of a (h, N, M) value:
+    mixed[a] = sum_b th[a,b] mats[b] (th[b,a] when transpose)."""
+    if heads >= _MIX_DOT_MIN_HEADS:
+        return _mix_dot(th_ref, mats, transpose)
     rows = []
     for a in range(heads):
         acc = None
@@ -87,6 +103,8 @@ def _mix3(th_ref, mats, heads, transpose=False):
 
 def _mix2(th_ref, mats, heads, transpose=False):
     """Same mix for a (h, N) value."""
+    if heads >= _MIX_DOT_MIN_HEADS:
+        return _mix_dot(th_ref, mats, transpose)
     rows = []
     for a in range(heads):
         acc = None
@@ -96,6 +114,13 @@ def _mix2(th_ref, mats, heads, transpose=False):
             acc = term if acc is None else acc + term
         rows.append(acc)
     return jnp.concatenate(rows, axis=0)
+
+
+def _th_spec(heads):
+    """Talking-heads weights live in SMEM for the unrolled scalar mix and in
+    VMEM when the MXU-dot mix is used (matmul operands must be vectors)."""
+    space = pltpu.VMEM if heads >= _MIX_DOT_MIN_HEADS else pltpu.SMEM
+    return pl.BlockSpec(memory_space=space)
 
 
 def _pair_contract(a3, b3, heads):
@@ -133,7 +158,7 @@ def _kernel(
     mask_ref,     # (HW, HW) VMEM (float32: 0 allowed / -inf disallowed)
     sbias_ref,    # (hb, HW, HW) VMEM spatial bias (hb = heads or 1)
     fbias_ref,    # (h, Kf) SMEM per-tap temporal bias
-    th_ref,       # (h, h) SMEM talking-heads weights
+    th_ref,       # (h, h) VMEM talking-heads weights
     k_hbm,        # (b, h, Tpad, d) ANY
     v_hbm,        # (b, h, Tpad, d) ANY
     out_ref,      # (1, h, HW, d) VMEM
@@ -997,7 +1022,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpa
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # talking heads
+            _th_spec(h),                      # talking heads
             pl.BlockSpec(memory_space=pl.ANY),                       # k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                       # v (HBM)
         ],
@@ -1054,7 +1079,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
         ],
@@ -1114,7 +1139,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pl.ANY),                       # q
             pl.BlockSpec(memory_space=pl.ANY),                       # gout
             pl.BlockSpec(memory_space=pl.ANY),                       # lse
@@ -1251,7 +1276,7 @@ def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # th
+            _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
         ],
@@ -1346,7 +1371,7 @@ def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                          # th
+            _th_spec(h),                                                    # th
             pl.BlockSpec(memory_space=pl.ANY),                           # kpad
             pl.BlockSpec(memory_space=pl.ANY),                           # vpad
         ],
@@ -1404,7 +1429,7 @@ def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # maskb
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbiasb
             pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                          # th
+            _th_spec(h),                                                    # th
             pl.BlockSpec(memory_space=pl.ANY),                           # q
             pl.BlockSpec(memory_space=pl.ANY),                           # gout
             pl.BlockSpec(memory_space=pl.ANY),                           # lse

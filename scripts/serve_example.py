@@ -1,0 +1,75 @@
+"""Serving example: batched, quantized, cached text->video generation.
+
+Shows the production decode path end to end on one chip:
+  * int8 weight-only quantized projections/logit heads (utils/quantize.py)
+  * batched cached AR rollout (one jitted lax.scan, per-layer caches)
+  * classifier-free guidance as a 2x-batch stream
+  * bf16 activations
+
+Run: python scripts/serve_example.py [--batch 8] [--int8]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from nuwa_tpu.models import NUWA
+from nuwa_tpu.tokenizer import tokenizer
+from nuwa_tpu.utils.quantize import quantize_params_int8
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--frames", type=int, default=4)
+    args = ap.parse_args()
+
+    model = NUWA(
+        dim=512, image_size=8, num_image_tokens=1024,
+        max_video_frames=args.frames, text_num_tokens=tokenizer.vocab_size,
+        text_max_seq_len=32, text_enc_depth=2, text_enc_dim_head=64,
+        text_enc_heads=8, dec_depth=6, dec_dim_head=64, dec_heads=8,
+        sparse_3dna_kernel_size=3, sparse_3dna_dilation=2,
+        shift_video_tokens=True, compute_dtype="bfloat16",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    if args.int8:
+        params = quantize_params_int8(params)
+
+    prompts = ["a red square moving right"] * args.batch
+    text = jnp.asarray(tokenizer.tokenize(prompts, context_length=32))
+
+    gen = jax.jit(
+        lambda p, text, key: model.generate(
+            p, text=text, key=key, decode_video=False, cond_scale=2.0
+        )
+    )
+    # compile + warm
+    idx = gen(params, text, jax.random.PRNGKey(1))
+    _ = float(np.asarray(jnp.sum(idx)))
+    t0 = time.perf_counter()
+    idx = gen(params, text, jax.random.PRNGKey(2))
+    _ = float(np.asarray(jnp.sum(idx)))
+    dt = time.perf_counter() - t0
+    total = args.batch * args.frames * model.tokens_per_frame
+    print(json.dumps({
+        "batch": args.batch,
+        "int8": args.int8,
+        "tokens": total,
+        "tokens_per_sec": round(total / dt, 1),
+        "sample_shape": list(idx.shape),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,31 @@ def test_pallas_row_blocked_backward_exact_with_fp32_cache():
         K._VJP_CACHE.clear()
 
 
+def test_pallas_sixteen_heads_dot_mix():
+    """heads >= 16 routes the talking-heads mix through one MXU dot instead
+    of unrolled AXPYs — forward + backward parity."""
+    mod = Sparse3DNA(
+        dim=32, video_shape=(2, 2, 2), kernel_size=3, dilation=1,
+        heads=16, dim_head=2, causal=True,
+    )
+    mod_pl = mod.replace(use_pallas=True)
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 9, 32))
+    w = jax.random.normal(jax.random.PRNGKey(9), (1, 9, 32))
+
+    def loss(m, p, x):
+        return jnp.sum(m(p, x) * w)
+
+    ref = np.asarray(mod(p, x))
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod_pl(p, x))
+        g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
 def test_pallas_gradients_match_xla_path():
     """jax.grad through the pallas op (XLA-remat backward) == gather path."""
     mod = Sparse3DNA(
