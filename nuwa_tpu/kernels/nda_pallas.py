@@ -21,8 +21,12 @@ query-side kernel (dq, softmax-dot correction ``rho``, bias/talking-heads/bos
 grads) and a key-side kernel (dk, dv) — so the (T, Kf·HW) probability tensor
 is never materialized in HBM (the XLA dense path saves it as a residual).
 
-Supported: causal + centered modes, any dilation, fmap ≤ 16 (HW ≤ 256 —
-score tiles stay within VMEM); larger fmaps fall back to the XLA path.
+Two kernel families share the machinery: whole-frame (HW ≤ 256 — the score
+tile is one frame vs one frame) and row-blocked (HW > 256, causal — R-row
+query blocks against a sliding key-row window, frames padded with
+(kh-1)·dh zero rows so the relative spatial mask is block-independent).
+Both have true flash backwards. Causal + centered modes and any dilation
+are supported for whole-frame; row-blocked is causal-only.
 """
 from __future__ import annotations
 
@@ -1565,8 +1569,6 @@ _VJP_CACHE = {}
 def _core_op(mod, num_frames, t, heads):
     """custom_vjp core over tensors only (biases precomputed outside so
     autodiff chains parameter grads through ``_bias_tensors``)."""
-    geo = _geometry(mod, num_frames, 64)  # d filled per-call; geo static bits
-
     def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
         g = _geometry(mod, num_frames, q.shape[-1])
         maskf = _static_mask(mod)

@@ -294,7 +294,6 @@ class NUWAVideoAudio(Module):
 
         vtpf = self.num_video_tokens_per_frame
         atpf = self.num_audio_tokens_per_video_frame
-        total = total_v + total_a
 
         text_mask = text != 0
         text_embeds = self.embed_text(p, text, text_mask)

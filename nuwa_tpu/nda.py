@@ -489,6 +489,10 @@ class Sparse3DNA(Module):
         if cp_mesh is not None:
             # context parallelism: frame-axis sharding with halo exchange of
             # the (Kf-1)*dilation lookback frames over ICI (SURVEY §2.8)
+            assert self.dropout == 0.0 or key is None, (
+                "attention dropout is not implemented under context "
+                "parallelism — set attn_dropout=0 or disable context_parallel"
+            )
             from .parallel.context_parallel import context_parallel_sparse_3dna
 
             return context_parallel_sparse_3dna(self, p, x, cp_mesh, axis=cp_axis)

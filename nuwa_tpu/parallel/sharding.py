@@ -29,11 +29,17 @@ _TP_RULES = (
     (r"(to_q|to_kv|to_qkv|w_in)/w$", lambda nd: P(None, "model") if nd == 2 else P()),
     # row-parallel projections (shard input features)
     (r"(to_out|w_out)/w$", lambda nd: P("model", None) if nd == 2 else P()),
+    # int8-quantized leaves (utils/quantize.py): per-output-channel scales
+    # shard with the output dim of their weight
+    (r"(to_q|to_kv|to_qkv|w_in)/w_scale$",
+     lambda nd: P("model") if nd == 1 else P()),
+    (r"(to_logits|to_video_logits|to_audio_logits)/w_scale$",
+     lambda nd: P("model") if nd == 1 else P()),
     # logits heads: shard the vocab (output) dim — the big matmul splits
-    # column-parallel and cross-entropy reduces with XLA collectives
-    (r"to_logits$", lambda nd: P(None, "model")),
-    (r"to_video_logits$", lambda nd: P(None, "model")),
-    (r"to_audio_logits$", lambda nd: P(None, "model")),
+    # column-parallel and cross-entropy reduces with XLA collectives.
+    # `/w` variant covers the int8-quantized {"w","w_scale"} form.
+    (r"(to_logits|to_video_logits|to_audio_logits)(/w)?$",
+     lambda nd: P(None, "model") if nd == 2 else P()),
     # embedding tables: shard the *feature* axis, NOT the vocab axis — a
     # vocab-sharded table turns every jnp.take of a hot row into a
     # cross-device gather; feature-sharded lookups are local per device and

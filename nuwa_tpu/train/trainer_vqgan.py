@@ -212,7 +212,11 @@ class VQGanVAETrainer:
             state["params"] = params
             state["vq"] = vq_state
             state["gen_opt"] = gen_opt
-            return state, loss_sum / accum
+            # codebook-health metric rides out of the jitted step (an eager
+            # computation here would cost extra dispatches through the
+            # remote-TPU tunnel every step)
+            usage = vae.vq.codebook_usage(vq_state)
+            return state, loss_sum / accum, usage
 
         return step
 
@@ -274,12 +278,9 @@ class VQGanVAETrainer:
 
         images = self._place(next(self.dl))
         self._key, rng = jax.random.split(self._key)
-        self.state, gen_loss = self._gen_step(self.state, images, rng)
+        self.state, gen_loss, usage = self._gen_step(self.state, images, rng)
         accum_log(logs, {"loss": float(gen_loss)})
-        accum_log(
-            logs,
-            {"codebook_usage": float(self.vae.vq.codebook_usage(self.state["vq"]))},
-        )
+        accum_log(logs, {"codebook_usage": float(usage)})
 
         if self._discr_step is not None:
             images = self._place(next(self.dl))

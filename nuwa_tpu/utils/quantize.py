@@ -47,13 +47,6 @@ def dequant(leaf, dtype=jnp.float32):
     return leaf.astype(dtype)
 
 
-def _path_str(path):
-    parts = []
-    for p in path:
-        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-    return "/".join(parts)
-
-
 def quantize_params_int8(params, *, skip=("vae",)):
     """Return a copy of ``params`` with projection weights quantized to int8.
 

@@ -54,6 +54,27 @@ def _kmeans(key, data, num_clusters, iters=10):
     return jax.lax.fori_loop(0, iters, step, means)
 
 
+_ORTHO_WARNED = False
+
+
+def _warn_orthogonal_reg_once():
+    """Same quirk as the upstream package with a non-learnable codebook: the
+    EMA codebook receives no gradients, so the orthogonal penalty only adds a
+    constant to the loss. Warn once (module configs are frozen dataclasses
+    that get re-constructed on every property access)."""
+    global _ORTHO_WARNED
+    if not _ORTHO_WARNED:
+        import warnings
+
+        warnings.warn(
+            "orthogonal_reg_weight > 0 has no training effect with the EMA "
+            "codebook (the penalty is computed from non-learnable state); "
+            "it is reported in the loss for parity only.",
+            stacklevel=3,
+        )
+        _ORTHO_WARNED = True
+
+
 @dataclass(frozen=True)
 class VectorQuantizeEMA(Module):
     dim: int
@@ -74,17 +95,7 @@ class VectorQuantizeEMA(Module):
 
     def __post_init__(self):
         if self.orthogonal_reg_weight > 0:
-            import warnings
-
-            # Same quirk as the upstream package with a non-learnable
-            # codebook: the EMA codebook receives no gradients, so the
-            # orthogonal penalty only adds a constant to the loss.
-            warnings.warn(
-                "orthogonal_reg_weight > 0 has no training effect with the "
-                "EMA codebook (the penalty is computed from non-learnable "
-                "state); it is reported in the loss for parity only.",
-                stacklevel=2,
-            )
+            _warn_orthogonal_reg_once()
 
     @property
     def cdim(self):

@@ -149,8 +149,8 @@ def test_pallas_row_blocked_large_fmap(dilation):
 
 
 def test_pallas_row_blocked_partial_frame_grads():
-    """Row-blocked forward with ragged tail + remat backward through the
-    chunked dense path."""
+    """Row-blocked forward with ragged tail + the true row-blocked flash
+    backward (_rb_bwd_q_kernel/_rb_bwd_kv_kernel)."""
     mod = Sparse3DNA(
         dim=16, video_shape=(2, 32, 9), kernel_size=3, dilation=1,
         heads=2, dim_head=8, causal=True,

@@ -71,6 +71,25 @@ def test_quantized_forward_logits_close():
     assert np.abs(out - ref).max() < 0.15 * np.abs(ref).max()
 
 
+def test_quantized_params_keep_tp_sharding_rules():
+    """int8 {w, w_scale} leaves must still match the TP partition rules
+    (to_logits/w stays vocab-sharded, scales shard with the output dim)."""
+    from jax.sharding import PartitionSpec as P
+
+    from nuwa_tpu.parallel import make_param_specs
+
+    model = tiny_nuwa()
+    qp = quantize_params_int8(model.init(KEY))
+    specs = make_param_specs(qp)
+    assert specs["to_logits"]["w"] == P(None, "model")
+    assert specs["to_logits"]["w_scale"] == P("model")
+    layer0 = specs["video_transformer"]["layers"][0]["inner"]
+    assert layer0["to_q"]["w"] == P(None, "model")
+    assert layer0["to_q"]["w_scale"] == P("model")
+    assert layer0["to_out"]["w"] == P("model", None)
+    assert layer0["to_out"]["w_scale"] == P()  # row-parallel: scale replicated
+
+
 def test_quantized_generate_runs():
     model = tiny_nuwa()
     p = model.init(KEY)
