@@ -256,6 +256,21 @@ def test_nuwa_trainer_context_parallel(tmp_path):
     np.testing.assert_allclose(losses_cp, losses_plain, rtol=2e-4)
 
 
+def test_context_parallel_rejects_attention_dropout():
+    """CP doesn't implement attention dropout — must fail loudly, not
+    silently train without it."""
+    model = _cp_model().replace(attn_dropout=0.1)
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    text = jax.random.randint(KEY, (2, 4), 1, 32)
+    video = jax.random.randint(jax.random.PRNGKey(1), (2, 8 * 4), 0, 16)
+    with pytest.raises(AssertionError, match="dropout"):
+        model.forward(
+            params, text=text, video=video, return_loss=True,
+            cp_mesh=mesh, key=KEY, train=True,
+        )
+
+
 def test_vqgan_trainer_with_mesh(tmp_path):
     """VQGanVAETrainer on a data mesh: runs, loss finite, matches unmeshed."""
     from nuwa_tpu.train.trainer_vqgan import VQGanVAETrainer
