@@ -47,11 +47,11 @@ def dequant(leaf, dtype=jnp.float32):
     return leaf.astype(dtype)
 
 
-def quantize_params_int8(params, *, skip=("vae",)):
+def quantize_params_int8(params, *, skip=("vae", "sketch_vae")):
     """Return a copy of ``params`` with projection weights quantized to int8.
 
-    ``skip``: top-level subtrees left untouched (the frozen VAE decodes
-    pixels — keep it full precision by default).
+    ``skip``: top-level subtrees left untouched (the frozen VAEs decode
+    pixels / tokenize sketches — keep them full precision by default).
     """
 
     def walk(node, path):

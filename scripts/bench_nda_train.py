@@ -114,6 +114,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backends", nargs="+", default=["dense", "pallas"])
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--parity", action="store_true")
     ap.add_argument("--fwd-only", action="store_true")
     args = ap.parse_args()
@@ -125,7 +126,7 @@ def main():
 
     results = {}
     for name in args.backends:
-        ms = bench_backend(name, steps=args.steps, train=not args.fwd_only)
+        ms = bench_backend(name, steps=args.steps, train=not args.fwd_only, batch=args.batch)
         results[name] = round(ms, 2)
         print(json.dumps({"backend": name, "ms_per_step": results[name],
                           "mode": "fwd" if args.fwd_only else "train"}), flush=True)
