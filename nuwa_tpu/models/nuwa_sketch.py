@@ -198,7 +198,8 @@ class NUWASketch(Module):
 
     # ---- decoder ----------------------------------------------------------
 
-    def _decode_logits(self, p, inp, sketch_embeds, context_mask, *, key=None, train=False):
+    def _decode_logits(self, p, inp, sketch_embeds, context_mask, *, key=None,
+                       train=False, cp_mesh=None):
         b, n = inp.shape
         emb = self._image_embedding(p["image_embedding"], inp, train=train)
         pos = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
@@ -211,7 +212,7 @@ class NUWASketch(Module):
             emb = emb.astype(self._dtype)
         out = self.video_transformer(
             p["video_transformer"], emb, context=sketch_embeds,
-            context_mask=context_mask, key=key,
+            context_mask=context_mask, key=key, cp_mesh=cp_mesh,
         )
         from ..utils.quantize import dequant
 
@@ -230,6 +231,7 @@ class NUWASketch(Module):
         cond_dropout_prob=0.2,
         key=None,
         train=False,
+        cp_mesh=None,
     ):
         if sketch.ndim == 4:  # single sketch convenience (:2525-2526)
             sketch = sketch[:, None]
@@ -258,7 +260,8 @@ class NUWASketch(Module):
             context_mask = context_mask & ~uncond[:, None]
 
         logits = self._decode_logits(
-            p, inp, sketch_embeds, context_mask, key=dkey, train=train
+            p, inp, sketch_embeds, context_mask, key=dkey, train=train,
+            cp_mesh=cp_mesh,
         )
         if not return_loss:
             return logits

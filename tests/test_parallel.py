@@ -256,6 +256,44 @@ def test_nuwa_trainer_context_parallel(tmp_path):
     np.testing.assert_allclose(losses_cp, losses_plain, rtol=2e-4)
 
 
+def test_sketch_model_forward_under_context_parallelism():
+    """NUWASketch's decoder (Sparse3DNA self + SparseCross2DNA cross) under
+    frame-axis CP must match the plain forward."""
+    from nuwa_tpu.models import NUWASketch
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    def tiny_vae(channels):
+        return VQGanVAE(
+            dim=8, image_size=8, channels=channels, num_layers=2,
+            vq_codebook_size=16, vq_codebook_dim=8, resnet_groups=4,
+            use_vgg_and_gan=False, vq_kmeans_init=False, use_attn=False,
+            num_resnet_blocks=0,
+        )
+
+    vae, svae = tiny_vae(3), tiny_vae(5)
+    k = jax.random.PRNGKey(0)
+    model = NUWASketch(
+        vae=vae, sketch_vae=svae, dim=16, image_size=8,
+        max_video_frames=8, sketch_max_video_frames=1,
+        sketch_enc_depth=1, sketch_enc_dim_head=8, sketch_enc_heads=2,
+        dec_depth=2, dec_dim_head=8, dec_heads=2,
+        sparse_3dna_kernel_size=3, sparse_3dna_dilation=(1, 2),
+    )
+    p = model.init(
+        k, vae_params=vae.init(k), vae_state=vae.init_state(k),
+        sketch_vae_params=svae.init(k), sketch_vae_state=svae.init_state(k),
+    )
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    sketch = jax.random.uniform(k, (2, 1, 5, 8, 8))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 3, 8, 8))
+
+    ref = model.forward(p, sketch=sketch, video=video, return_loss=True)
+    cp = model.forward(
+        p, sketch=sketch, video=video, return_loss=True, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(float(cp), float(ref), rtol=1e-5)
+
+
 def test_context_parallel_rejects_attention_dropout():
     """CP doesn't implement attention dropout — must fail loudly, not
     silently train without it."""
