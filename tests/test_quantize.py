@@ -90,6 +90,43 @@ def test_quantized_params_keep_tp_sharding_rules():
     assert layer0["to_out"]["w_scale"] == P()  # row-parallel: scale replicated
 
 
+def test_quantized_sketch_model_skips_vaes():
+    from nuwa_tpu.models import NUWASketch
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    def tiny_vae(channels):
+        return VQGanVAE(
+            dim=8, image_size=8, channels=channels, num_layers=2,
+            vq_codebook_size=16, vq_codebook_dim=8, resnet_groups=4,
+            use_vgg_and_gan=False, vq_kmeans_init=False, use_attn=False,
+            num_resnet_blocks=0,
+        )
+
+    vae, svae = tiny_vae(3), tiny_vae(5)
+    k = jax.random.PRNGKey(0)
+    model = NUWASketch(
+        vae=vae, sketch_vae=svae, dim=16, image_size=8,
+        max_video_frames=2, sketch_max_video_frames=1,
+        sketch_enc_depth=1, sketch_enc_dim_head=8, sketch_enc_heads=2,
+        dec_depth=1, dec_dim_head=8, dec_heads=2,
+    )
+    p = model.init(
+        k, vae_params=vae.init(k), vae_state=vae.init_state(k),
+        sketch_vae_params=svae.init(k), sketch_vae_state=svae.init_state(k),
+    )
+    qp = quantize_params_int8(p)
+    # both frozen codecs untouched (incl. their VQ projections)
+    for sub in ("vae", "sketch_vae"):
+        for leaf in jax.tree.leaves(qp[sub]):
+            assert leaf.dtype != jnp.int8
+    assert qp["to_logits"]["w"].dtype == jnp.int8
+    # quantized forward runs
+    sketch = jax.random.uniform(k, (1, 1, 5, 8, 8))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 3, 8, 8))
+    loss = model.forward(qp, sketch=sketch, video=video, return_loss=True)
+    assert np.isfinite(float(loss))
+
+
 def test_quantized_generate_runs():
     model = tiny_nuwa()
     p = model.init(KEY)
