@@ -21,3 +21,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+# ---------------------------------------------------------------------------
+# shared tiny-model helpers (used across test files)
+# ---------------------------------------------------------------------------
+
+
+def make_tiny_vae(channels=3):
+    """Smallest VQGanVAE that exercises the conv/VQ stack (shared fixture)."""
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    return VQGanVAE(
+        dim=8, image_size=8, channels=channels, num_layers=2,
+        vq_codebook_size=16, vq_codebook_dim=8, resnet_groups=4,
+        use_vgg_and_gan=False, vq_kmeans_init=False, use_attn=False,
+        num_resnet_blocks=0,
+    )

@@ -91,18 +91,10 @@ def test_quantized_params_keep_tp_sharding_rules():
 
 
 def test_quantized_sketch_model_skips_vaes():
+    from conftest import make_tiny_vae
     from nuwa_tpu.models import NUWASketch
-    from nuwa_tpu.vqgan_vae import VQGanVAE
 
-    def tiny_vae(channels):
-        return VQGanVAE(
-            dim=8, image_size=8, channels=channels, num_layers=2,
-            vq_codebook_size=16, vq_codebook_dim=8, resnet_groups=4,
-            use_vgg_and_gan=False, vq_kmeans_init=False, use_attn=False,
-            num_resnet_blocks=0,
-        )
-
-    vae, svae = tiny_vae(3), tiny_vae(5)
+    vae, svae = make_tiny_vae(3), make_tiny_vae(5)
     k = jax.random.PRNGKey(0)
     model = NUWASketch(
         vae=vae, sketch_vae=svae, dim=16, image_size=8,
