@@ -243,6 +243,7 @@ class DualModalityDecoder(Module):
         video_mask=None,
         context_mask=None,
         key=None,
+        cp_mesh=None,
         **_,
     ):
         blocks = self.blocks()
@@ -255,7 +256,9 @@ class DualModalityDecoder(Module):
             f, g, j, k = mods
             kf, kg, kj, kk = lkeys[4 * i : 4 * i + 4]
             if btype == "self":
-                video = f(lp["f"], video, mask=video_mask, key=kf) + video
+                # frame-axis context parallelism applies to the video tower's
+                # 3DNA only (audio 2DNA and cross blocks stay replicated)
+                video = f(lp["f"], video, mask=video_mask, key=kf, cp_mesh=cp_mesh) + video
                 video = g(lp["g"], video, key=kg) + video
                 audio = j(lp["j"], audio, mask=audio_mask, key=kj) + audio
                 audio = k(lp["k"], audio, key=kk) + audio
@@ -323,8 +326,13 @@ class ReversibleDualModalityDecoder(DualModalityDecoder):
         context_mask=None,
         key=None,
         reverse=True,
+        cp_mesh=None,
         **_,
     ):
+        assert cp_mesh is None, (
+            "context parallelism is supported on the non-reversible dual "
+            "decoder (a mesh can't ride the reversible ctx routing)"
+        )
         blocks = self.blocks()
         # adapt the generic schedule to reversible_dual's calling convention:
         # routes reference ctx keys directly

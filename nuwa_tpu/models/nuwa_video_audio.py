@@ -213,13 +213,15 @@ class NUWAVideoAudio(Module):
         return emb.astype(self._dtype) if self._dtype is not None else emb
 
     def _decode(
-        self, p, video_inp, audio_inp, text_embeds, text_mask, *, key=None, train=False
+        self, p, video_inp, audio_inp, text_embeds, text_mask, *, key=None,
+        train=False, cp_mesh=None,
     ):
         v = self._embed_video_tokens(p, video_inp, train)
         a = self._embed_audio_tokens(p, audio_inp, train)
         v, a = self.video_audio_transformer(
             p["video_audio_transformer"], v, a,
             context=text_embeds, context_mask=text_mask, key=key,
+            cp_mesh=cp_mesh,
         )
         return (
             jnp.dot(v, dequant(p["to_video_logits"], v.dtype)),
@@ -239,6 +241,7 @@ class NUWAVideoAudio(Module):
         cond_dropout_prob=0.2,
         key=None,
         train=False,
+        cp_mesh=None,
     ):
         b = text.shape[0]
         text_mask = text != 0
@@ -265,7 +268,8 @@ class NUWAVideoAudio(Module):
             text_mask = text_mask & ~uncond[:, None]
 
         video_logits, audio_logits = self._decode(
-            p, video_inp, audio_inp, text_embeds, text_mask, key=dkey, train=train
+            p, video_inp, audio_inp, text_embeds, text_mask, key=dkey,
+            train=train, cp_mesh=cp_mesh,
         )
         if not return_loss:
             return video_logits, audio_logits

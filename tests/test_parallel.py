@@ -286,6 +286,35 @@ def test_sketch_model_forward_under_context_parallelism():
     np.testing.assert_allclose(float(cp), float(ref), rtol=1e-5)
 
 
+def test_dual_model_forward_under_context_parallelism():
+    """NUWAVideoAudio (non-reversible dual decoder) under frame-axis CP:
+    the video tower's 3DNA layers shard over frames; audio/cross blocks stay
+    replicated. Must match the plain forward."""
+    from conftest import make_tiny_vae
+    from nuwa_tpu.models import NUWAVideoAudio
+
+    vae = make_tiny_vae(3)
+    k = jax.random.PRNGKey(0)
+    model = NUWAVideoAudio(
+        vae=vae, dim=16, image_size=8, num_audio_tokens=24,
+        num_audio_tokens_per_video_frame=3, max_video_frames=8,
+        text_num_tokens=32, text_max_seq_len=16, text_enc_depth=1,
+        text_enc_dim_head=8, text_enc_heads=2, dec_depth=2, dec_dim_head=8,
+        dec_heads=2, dec_reversible=False, cross_modality_attn_every=2,
+    )
+    p = model.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k))
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    text = jax.random.randint(k, (2, 4), 1, 32)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 3, 8, 8))
+    audio = jax.random.randint(jax.random.PRNGKey(2), (2, 8 * 3), 0, 24)
+
+    ref = model.forward(p, text=text, video=video, audio=audio, return_loss=True)
+    cp = model.forward(
+        p, text=text, video=video, audio=audio, return_loss=True, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(float(cp), float(ref), rtol=1e-5)
+
+
 def test_context_parallel_rejects_attention_dropout():
     """CP doesn't implement attention dropout — must fail loudly, not
     silently train without it."""
