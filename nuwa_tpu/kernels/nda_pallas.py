@@ -40,8 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # dtype of the in-kernel score/probability cache. bf16 halves VMEM; the
-# backward rounds its recomputed scores through this dtype so P matches the
-# forward bit-for-bit (keeps d(softmax) consistent with the saved lse).
+# backward rounds its recomputed *scores* through this dtype so P stays
+# consistent with the saved lse up to the cache rounding (the whole-frame
+# forward additionally rounds the exp'd probabilities when storing them, a
+# deviation of O(bf16 eps) that the fp32-cache tests show is the only one;
+# the row-blocked forward normalizes directly and matches exactly).
 _CACHE_DTYPE = jnp.bfloat16
 
 
@@ -963,6 +966,30 @@ def _pad_d(arrs, d_orig, d):
     return [jnp.pad(a, padd) for a in arrs]
 
 
+def _axial_tables(mod, p, heads):
+    """(fbias (h, Kf), hw_tab (Kh*Kw, h)) from the axial rel-pos params.
+
+    Shared by the whole-frame and row-blocked bias builders so the causal
+    tap enumeration (fbias reversal) lives in exactly one place."""
+    kf, kh, kw = mod.kernel
+    axials = list(p["rel_pos_bias"]["axials"])
+    comp = dict(zip(sizes_index(mod.kernel), axials))
+    f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
+    if f_tab is not None:
+        fb = jnp.transpose(f_tab)  # (h, kf)
+        # tap j=0 is the own frame (offset 0) == last kernel index in the
+        # causal enumeration, hence the reversal
+        fbias = fb[:, ::-1] if mod.causal else fb
+    else:
+        fbias = jnp.zeros((heads, kf), jnp.float32)
+    hw_tab = jnp.zeros((kh, kw, heads), jnp.float32)
+    if h_tab is not None:
+        hw_tab = hw_tab + h_tab[:, None, :]
+    if w_tab is not None:
+        hw_tab = hw_tab + w_tab[None, :, :]
+    return fbias, hw_tab.reshape(kh * kw, heads)
+
+
 def _bias_tensors(mod, p, heads):
     """Differentiable (sbias, fbias, th_w) from params + the static mask."""
     fh, fw = mod.video_shape[1], mod.video_shape[2]
@@ -975,22 +1002,7 @@ def _bias_tensors(mod, p, heads):
     h = heads
 
     if mod.rel_pos_bias:
-        axials = list(p["rel_pos_bias"]["axials"])
-        comp = dict(zip(sizes_index(mod.kernel), axials))
-        f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
-        if f_tab is not None:
-            fb = jnp.transpose(f_tab)  # (h, kf)
-            # tap j=0 is the own frame (offset 0) == last kernel index in the
-            # causal enumeration, hence the reversal
-            fbias = fb[:, ::-1] if mod.causal else fb
-        else:
-            fbias = jnp.zeros((h, kf), jnp.float32)
-        hw_tab = jnp.zeros((kh, kw, h), jnp.float32)
-        if h_tab is not None:
-            hw_tab = hw_tab + h_tab[:, None, :]
-        if w_tab is not None:
-            hw_tab = hw_tab + w_tab[None, :, :]
-        hw_tab = hw_tab.reshape(kh * kw, h)
+        fbias, hw_tab = _axial_tables(mod, p, h)
         # scatter per-tap spatial bias into the (HW, HW) layout via a static
         # one-hot selector: sbias[h,q,k] = sum_t selector[q,k,t] * hw_tab[t,h]
         sbias = jnp.einsum(
@@ -1231,20 +1243,7 @@ def _rb_bias_tensors(mod, p, heads, geo):
     maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
     h = heads
     if mod.rel_pos_bias:
-        axials = list(p["rel_pos_bias"]["axials"])
-        comp = dict(zip(sizes_index(mod.kernel), axials))
-        f_tab, h_tab, w_tab = comp.get(0), comp.get(1), comp.get(2)
-        if f_tab is not None:
-            fb = jnp.transpose(f_tab)
-            fbias = fb[:, ::-1]  # causal tap enumeration
-        else:
-            fbias = jnp.zeros((h, kf), jnp.float32)
-        hw_tab = jnp.zeros((kh, kw, h), jnp.float32)
-        if h_tab is not None:
-            hw_tab = hw_tab + h_tab[:, None, :]
-        if w_tab is not None:
-            hw_tab = hw_tab + w_tab[None, :, :]
-        hw_tab = hw_tab.reshape(kh * kw, h)
+        fbias, hw_tab = _axial_tables(mod, p, h)
         sbias = jnp.einsum(
             "qkt,th->hqk", jnp.asarray(selector_np, jnp.float32), hw_tab
         )
@@ -1462,7 +1461,7 @@ def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
     )(k, v, maskb, sbiasb, fbias, th_w, q, gout, lse, rho)
 
 
-def _rb_bwd_bias_tensors(mod, geo, heads):
+def _rb_bwd_bias_tensors(mod, geo):
     """Additive key-block masks + spatial bias for the kv backward kernel."""
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
@@ -1504,7 +1503,7 @@ def _rb_core_op(mod, num_frames, t):
             mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             th_w, kpad, vpad,
         )
-        maskb, sel_b, NB = _rb_bwd_bias_tensors(mod, geo, mod.heads)
+        maskb, sel_b, NB = _rb_bwd_bias_tensors(mod, geo)
         geo["NB"] = NB
         if mod.rel_pos_bias:
             # per-block spatial bias in key-block coordinates, from the same
@@ -1566,7 +1565,7 @@ def _rb_hw_tab(mod, geo, sbias):
 _VJP_CACHE = {}
 
 
-def _core_op(mod, num_frames, t, heads):
+def _core_op(mod, num_frames, t):
     """custom_vjp core over tensors only (biases precomputed outside so
     autodiff chains parameter grads through ``_bias_tensors``)."""
     def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
@@ -1652,7 +1651,7 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
         _VJP_CACHE[cache_key] = op_rb
         return op_rb
 
-    core = _core_op(mod, num_frames, t, mod.heads)
+    core = _core_op(mod, num_frames, t)
 
     def op(p_sub, q, k, v, k_bos, v_bos):
         d_orig = q.shape[-1]

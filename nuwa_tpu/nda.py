@@ -486,6 +486,19 @@ class Sparse3DNA(Module):
         return table.T  # (heads, Kn)
 
     def __call__(self, p, x, *, key=None, cp_mesh=None, cp_axis="data", **_):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        f_max, fh, fw = self.video_shape
+        tokens_per_frame = fh * fw
+
+        t = n - 1  # video tokens (after bos)
+        if t == 0:
+            # bos-only: adopt own value (reference :485-486) — also covers
+            # the cp_mesh case (nothing to shard)
+            kv = Dense(self.dim, self.inner_dim * 2)(p["to_kv"], x)
+            _, v = jnp.split(kv, 2, axis=-1)
+            return Dense(self.inner_dim, self.dim, use_bias=True)(p["to_out"], v)
+
         if cp_mesh is not None:
             # context parallelism: frame-axis sharding with halo exchange of
             # the (Kf-1)*dilation lookback frames over ICI (SURVEY §2.8)
@@ -496,17 +509,6 @@ class Sparse3DNA(Module):
             from .parallel.context_parallel import context_parallel_sparse_3dna
 
             return context_parallel_sparse_3dna(self, p, x, cp_mesh, axis=cp_axis)
-        b, n, _ = x.shape
-        h, dh = self.heads, self.dim_head
-        f_max, fh, fw = self.video_shape
-        tokens_per_frame = fh * fw
-
-        t = n - 1  # video tokens (after bos)
-        if t == 0:
-            # bos-only: adopt own value (reference :485-486)
-            kv = Dense(self.dim, self.inner_dim * 2)(p["to_kv"], x)
-            _, v = jnp.split(kv, 2, axis=-1)
-            return Dense(self.inner_dim, self.dim, use_bias=True)(p["to_out"], v)
 
         pad = (-t) % tokens_per_frame
         num_frames = (t + pad) // tokens_per_frame

@@ -51,12 +51,13 @@ def context_parallel_sparse_3dna(
 
     h, dh = mod.heads, mod.dim_head
 
-    # static neighbor table over a (LB + Floc)-frame local grid, queries at
-    # local frames [LB, LB + Floc)
+    # static neighbor table over an (LB + Floc)-frame local grid, queries at
+    # local frames [LB, LB + Floc) — the kv buffer carries exactly the
+    # lookback-window halo, however many ppermute hops it took to collect
     idx_np, valid_np = build_nda_indices(
-        (hops * Floc + Floc, fh, fw), mod.kernel, mod.dilations, ("causal",) * 3
+        (LB + Floc, fh, fw), mod.kernel, mod.dilations, ("causal",) * 3
     )
-    pad_f = hops * Floc  # frames of halo prepended to each shard
+    pad_f = LB  # frames of halo prepended to each shard
     q_rows = slice(pad_f * HW, (pad_f + Floc) * HW)
     idx_local = jnp.asarray(idx_np[q_rows])
     valid_local = jnp.asarray(valid_np[q_rows])
@@ -85,24 +86,35 @@ def context_parallel_sparse_3dna(
         k_bos, v_bos = split_heads(k_bos, h), split_heads(v_bos, h)
         q = q * (dh**-0.5)
 
-        # multi-hop halo: hop g brings the local kv of device (i - g)
-        perm = [((i + 1) % nd, i) for i in range(nd)]  # receive from i-1? see below
-        # ppermute semantics: perm pairs are (source, destination)
+        # multi-hop halo: hop g brings the local kv of device (i - g);
+        # ppermute perm pairs are (source, destination)
         def shift_right(t_):
             return jax.lax.ppermute(
                 t_, axis, [(i, (i + 1) % nd) for i in range(nd)]
             )
 
-        halo_k = []
-        halo_v = []
-        kk, vv = k, v
-        for g in range(hops):
-            kk = shift_right(kk)
-            vv = shift_right(vv)
-            halo_k.insert(0, kk)
-            halo_v.insert(0, vv)
+        if hops == 1 and LB < Floc:
+            # single hop: ship only the trailing lookback frames the
+            # neighbor reads, not the whole shard (ICI traffic LB/Floc)
+            halo_k = [shift_right(k[:, :, (Floc - LB) * HW :])]
+            halo_v = [shift_right(v[:, :, (Floc - LB) * HW :])]
+        else:
+            # multi-hop relay ships whole shards (intermediate shards are
+            # fully inside the lookback); trim the concatenation below
+            halo_k, halo_v = [], []
+            kk, vv = k, v
+            for g in range(hops):
+                kk = shift_right(kk)
+                vv = shift_right(vv)
+                halo_k.insert(0, kk)
+                halo_v.insert(0, vv)
         k_full = jnp.concatenate(halo_k + [k], axis=2)
         v_full = jnp.concatenate(halo_v + [v], axis=2)
+        extra = k_full.shape[2] - (LB + Floc) * HW
+        if extra:
+            # drop halo frames beyond the lookback window
+            k_full = k_full[:, :, extra:]
+            v_full = v_full[:, :, extra:]
 
         # validity: static in-bounds AND neighbor's global frame >= 0 AND
         # the neighbor is a real (non-phantom-padded) token

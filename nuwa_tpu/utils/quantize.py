@@ -58,8 +58,10 @@ def quantize_params_int8(params, *, skip=("vae", "sketch_vae")):
         if isinstance(node, dict):
             if (
                 "w" in node
+                and "w_scale" not in node  # idempotent: already quantized
                 and not isinstance(node["w"], dict)
                 and getattr(node["w"], "ndim", 0) == 2
+                and node["w"].dtype != jnp.int8
                 and _QUANT_W_RE.search(path)
             ):
                 q, scale = _quantize_w(node["w"])

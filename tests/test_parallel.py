@@ -315,6 +315,23 @@ def test_dual_model_forward_under_context_parallelism():
     np.testing.assert_allclose(float(cp), float(ref), rtol=1e-5)
 
 
+def test_context_parallel_bos_only_input():
+    """A bos-only sequence (t == 0) under cp_mesh takes the bos early-return
+    instead of crashing in the halo geometry (ZeroDivision on Floc=0)."""
+    from nuwa_tpu.nda import Sparse3DNA
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    mod = Sparse3DNA(
+        dim=16, video_shape=(8, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True,
+    )
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 1, 16))
+    ref = np.asarray(mod(p, x))
+    out = np.asarray(mod(p, x, cp_mesh=mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_context_parallel_rejects_attention_dropout():
     """CP doesn't implement attention dropout — must fail loudly, not
     silently train without it."""

@@ -119,6 +119,16 @@ def test_quantized_sketch_model_skips_vaes():
     assert np.isfinite(float(loss))
 
 
+def test_quantize_idempotent():
+    """Re-quantizing already-quantized params must be a no-op, not a silent
+    double-quantization that corrupts scales."""
+    model = tiny_nuwa()
+    qp = quantize_params_int8(model.init(KEY))
+    qp2 = quantize_params_int8(qp)
+    for a, b in zip(jax.tree.leaves(qp), jax.tree.leaves(qp2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_generate_runs():
     model = tiny_nuwa()
     p = model.init(KEY)
