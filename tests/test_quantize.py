@@ -129,6 +129,21 @@ def test_quantize_idempotent():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """int8 {w, w_scale} leaves survive the msgpack checkpoint roundtrip
+    bit-exactly (serving checkpoints)."""
+    from nuwa_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+    model = tiny_nuwa()
+    qp = quantize_params_int8(model.init(KEY))
+    save_checkpoint(tmp_path, "qparams", 0, qp)
+    step, restored = restore_latest(tmp_path, "qparams", qp)
+    assert step == 0
+    assert restored["to_logits"]["w"].dtype == jnp.int8
+    for a, b in zip(jax.tree.leaves(qp), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_generate_runs():
     model = tiny_nuwa()
     p = model.init(KEY)
