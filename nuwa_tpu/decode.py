@@ -14,6 +14,14 @@ Per decoder layer the cache holds exactly what incremental decoding needs:
 
 The whole rollout is one jitted ``lax.scan``; per-step cost is O(depth · Kn)
 instead of O(depth · n · Kn).
+
+Every step also supports ``prefill(p, cache, x)`` over a whole (b, n, dim)
+block of decoder inputs (positions 0..n-1, position 0 = bos): one
+MXU-friendly full forward that leaves the caches exactly as n incremental
+steps would. ``generate_long`` uses it to re-prime a fresh window per frame
+at O(window) instead of O(window · tokens_per_frame) (the reference's
+sliding rollout re-runs the full decoder per *token*, nuwa_pytorch.py:
+1874-1908).
 """
 from __future__ import annotations
 
@@ -78,6 +86,19 @@ class _DenseSelfStep:
         out = jnp.einsum("bhj,bhjd->bhd", attn.astype(vals.dtype), vals)
         return Dense(mod.inner_dim, mod.dim)(p["to_out"], out.reshape(b, h * dh)), cache
 
+    def prefill(self, p, cache, x):
+        mod = self.mod
+        b, n, _ = x.shape
+        h, dh = mod.heads, mod.dim_head
+        kv = Dense(mod.dim, mod.inner_dim * 2)(p["to_kv"], x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        cache = dict(cache)
+        cache["k"] = cache["k"].at[:, :, :n].set(k.astype(cache["k"].dtype))
+        cache["v"] = cache["v"].at[:, :, :n].set(v.astype(cache["v"].dtype))
+        return mod(p, x), cache
+
 
 class _CrossAttnStep:
     """Dense cross-attention with context k/v precomputed once."""
@@ -113,6 +134,26 @@ class _CrossAttnStep:
         attn = _th_mix(attn, p["talking_heads"])
         out = jnp.einsum("bhj,bhjd->bhd", attn.astype(vals.dtype), vals)
         return Dense(mod.inner_dim, mod.dim)(p["to_out"], out.reshape(b, h * dh)), cache
+
+    def prefill(self, p, cache, x):
+        """Vectorized cross-attn over the precomputed context k/v."""
+        mod = self.mod
+        b, n, _ = x.shape
+        h, dh = mod.heads, mod.dim_head
+        q = Dense(mod.dim, mod.inner_dim)(p["to_q"], x)
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        null_k = jnp.broadcast_to(p["null_k"].astype(q.dtype)[None], (b, h, 1, dh))
+        null_v = jnp.broadcast_to(p["null_v"].astype(q.dtype)[None], (b, h, 1, dh))
+        keys = jnp.concatenate([null_k, cache["ck"]], axis=2)
+        vals = jnp.concatenate([null_v, cache["cv"]], axis=2)
+        sim = jnp.einsum("bhid,bhjd->bhij", q * dh**-0.5, keys)
+        kmask = jnp.pad(cache["cmask"], ((0, 0), (1, 0)), constant_values=True)
+        sim = masked_fill(sim, ~kmask[:, None, None, :], max_neg_value(sim.dtype))
+        attn = stable_softmax(sim, axis=-1)
+        attn = jnp.einsum("bhij,gh->bgij", attn, p["talking_heads"].astype(attn.dtype))
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(vals.dtype), vals)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+        return Dense(mod.inner_dim, mod.dim)(p["to_out"], out), cache
 
 
 class _Sparse3DNAStep:
@@ -187,6 +228,29 @@ class _Sparse3DNAStep:
             cache,
         )
 
+    def prefill(self, p, cache, x):
+        """x: (b, n, dim) decoder inputs, position 0 = bos. Fills the bos
+        slot and video k/v rows 0..n-2; outputs come from the module's own
+        full forward (one MXU pass instead of n incremental steps)."""
+        mod = self.mod
+        b, n, _ = x.shape
+        h, dh = mod.heads, mod.dim_head
+        kv = Dense(mod.dim, mod.inner_dim * 2)(p["to_kv"], x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        cache = dict(cache)
+        cache["k_bos"] = k[:, :, 0].astype(cache["k_bos"].dtype)
+        cache["v_bos"] = v[:, :, 0].astype(cache["v_bos"].dtype)
+        if n > 1:
+            cache["k"] = cache["k"].at[:, :, : n - 1].set(
+                k[:, :, 1:].astype(cache["k"].dtype)
+            )
+            cache["v"] = cache["v"].at[:, :, : n - 1].set(
+                v[:, :, 1:].astype(cache["v"].dtype)
+            )
+        return mod(p, x), cache
+
 
 class _SparseCross2DNAStep:
     def __init__(self, mod: SparseCross2DNA, total_video: int):
@@ -212,7 +276,15 @@ class _SparseCross2DNAStep:
         v = v.reshape(b, L, h, dh).transpose(0, 2, 1, 3)
         if context_mask is None:
             context_mask = jnp.ones((b, L), bool)
-        return {"ck": k, "cv": v, "cmask": context_mask}
+        # ctx_raw rides the cache so prefill can run the module's own full
+        # forward (the neighborhoods are regathered from raw context there)
+        return {"ck": k, "cv": v, "cmask": context_mask, "ctx_raw": context}
+
+    def prefill(self, p, cache, x):
+        return (
+            self.mod(p, x, context=cache["ctx_raw"], context_mask=cache["cmask"]),
+            cache,
+        )
 
     def __call__(self, p, cache, x_i, pos, **_):
         mod = self.mod
@@ -267,6 +339,9 @@ class _FFStep:
 
     def __call__(self, p, cache, x_i, pos, **_):
         return self.mod._net(p, x_i[:, None, :], None)[:, 0], cache
+
+    def prefill(self, p, cache, x):
+        return self.mod._net(p, x, None), cache
 
 
 class _ShiftVideoStep:
@@ -324,6 +399,20 @@ class _ShiftVideoStep:
         cache2["shift_buf"] = cache["shift_buf"]
         return out, cache2
 
+    def prefill(self, p, cache, x):
+        from .ops.shift import shift_video_tokens
+
+        cache = dict(cache)
+        n = x.shape[1]
+        cache["shift_buf"] = cache["shift_buf"].at[:, :n].set(
+            x.astype(cache["shift_buf"].dtype)
+        )
+        xs = shift_video_tokens(x, self.w.image_size, self.w.shift_space, self.w.shift_time)
+        out, cache2 = self.inner.prefill(p, cache, xs)
+        cache2 = dict(cache2)
+        cache2["shift_buf"] = cache["shift_buf"]
+        return out, cache2
+
 
 def _chunk_sizes(dim, chunks):
     per = -(-dim // chunks)
@@ -345,6 +434,12 @@ class _SandwichStep:
         ln = LayerNorm(self.s.dim)
         h = ln(p["pre"], x_i)
         h, cache = self.inner(p["inner"], cache, h, pos, **kw)
+        return ln(p["post"], h), cache
+
+    def prefill(self, p, cache, x):
+        ln = LayerNorm(self.s.dim)
+        h = ln(p["pre"], x)
+        h, cache = self.inner.prefill(p["inner"], cache, h)
         return ln(p["post"], h), cache
 
 
@@ -446,6 +541,31 @@ class TransformerDecoder:
                 c.update(inner.init_cache(lp["inner"], context, context_mask))
             caches.append(c)
         return caches
+
+    def prefill(self, p, caches, x):
+        """Process decoder inputs ``x`` (b, n, dim), positions 0..n-1, in one
+        vectorized pass, leaving caches as n incremental steps would. Used by
+        ``generate_long`` to re-prime a fresh sliding window per frame.
+        Outputs are discarded (the window's logits are already known)."""
+        new_caches = list(caches)
+        if not self.reversible:
+            for idx, (kind, step) in enumerate(self.steps):
+                lp = self._layer_params(p, idx)
+                out, new_caches[idx] = step.prefill(lp, caches[idx], x)
+                x = x + out
+        else:
+            x1 = x2 = x
+            for _, c, f_idx, g_idx in self.plan:
+                lp = p["layers"][c]
+                out, new_caches[f_idx] = self.steps[f_idx][1].prefill(
+                    lp["f"], new_caches[f_idx], x2
+                )
+                x1 = x1 + out
+                out, new_caches[g_idx] = self.steps[g_idx][1].prefill(
+                    lp["g"], new_caches[g_idx], x1
+                )
+                x2 = x2 + out
+        return new_caches
 
     def step(self, p, caches, x_i, pos):
         """x_i: (b, dim) input at position ``pos``. Returns (y_i, caches)."""

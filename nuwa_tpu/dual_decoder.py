@@ -34,7 +34,7 @@ from .ops.attention import Attention
 from .ops.crossmodality import CrossModalityCrossAttention
 from .ops.feedforward import FeedForward
 from .reversible_dual import dual_reversible_sequence
-from .transformer import Sandwich, ShiftAudio, ShiftVideo
+from .transformer import BindCP, Sandwich, ShiftAudio, ShiftVideo
 
 
 @dataclass(frozen=True)
@@ -327,18 +327,19 @@ class ReversibleDualModalityDecoder(DualModalityDecoder):
         key=None,
         reverse=True,
         cp_mesh=None,
+        cp_axis="data",
         **_,
     ):
-        assert cp_mesh is None, (
-            "context parallelism is supported on the non-reversible dual "
-            "decoder (a mesh can't ride the reversible ctx routing)"
-        )
         blocks = self.blocks()
         # adapt the generic schedule to reversible_dual's calling convention:
-        # routes reference ctx keys directly
+        # routes reference ctx keys directly; a CP mesh is static config and
+        # binds into the video self-attn module (see transformer.BindCP)
         rev_blocks = []
         for btype, mods, _ in blocks:
             if btype == "self":
+                if cp_mesh is not None:
+                    f, g, j, k = mods
+                    mods = (BindCP(f, cp_mesh=cp_mesh, cp_axis=cp_axis), g, j, k)
                 routes = {"f": (("video_mask", "mask"),), "g": (),
                           "j": (("audio_mask", "mask"),), "k": ()}
             elif btype == "cross":

@@ -33,10 +33,17 @@ def cached_ar_rollout(
     cond_scale,
     dim,
     dtype=None,
+    start_pos=0,
+    init_prev=None,
 ):
     """Shared cached AR rollout: one lax.scan over positions with per-layer
     caches (see nuwa_tpu.decode). CFG runs cond+uncond as a 2×batch stream
-    whose caches were built with [mask; zeros]."""
+    whose caches were built with [mask; zeros].
+
+    ``start_pos``/``init_prev`` resume mid-sequence after a ``dec.prefill``
+    (sliding-window long rollouts): scanning positions
+    [start_pos, start_pos + total) with ``init_prev`` as the first input
+    token."""
     use_cfg = cond_scale != 1
 
     def step(carry, i):
@@ -60,8 +67,12 @@ def cached_ar_rollout(
         sample = gumbel_sample(sub, filtered, temperature=temperature).astype(jnp.int32)
         return (caches, sample, key), sample
 
-    init_tok = jnp.zeros((batch,), jnp.int32)
-    (_, _, _), samples = jax.lax.scan(step, (caches, init_tok, key), jnp.arange(total))
+    init_tok = (
+        init_prev if init_prev is not None else jnp.zeros((batch,), jnp.int32)
+    )
+    (_, _, _), samples = jax.lax.scan(
+        step, (caches, init_tok, key), start_pos + jnp.arange(total)
+    )
     return samples.T  # (b, total)
 
 

@@ -383,7 +383,10 @@ class NUWA(Module):
         """Generate ``num_frames > max_video_frames`` with the reference's
         sliding frame window (nuwa_pytorch.py:1874-1877): once the buffer is
         full, each new frame is decoded against the last max_video_frames-1
-        frames. One jitted per-frame scan, re-used across frames.
+        frames. Per frame: one vectorized ``prefill`` re-primes fresh caches
+        over the window (O(window) once), then tpf cached steps at
+        O(depth·Kn) each — cached-level throughput instead of the full
+        re-forward per token the reference pays.
         """
         b = text.shape[0]
         tpf = self.tokens_per_frame
@@ -400,8 +403,11 @@ class NUWA(Module):
         text_embeds = self.embed_text(p, text, text_mask)
         use_cfg = cond_scale != 1
         if use_cfg:
-            ctx2 = jnp.concatenate([text_embeds, text_embeds], axis=0)
-            cmask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+            eb = 2 * b
+        else:
+            ctx, cmask, eb = text_embeds, text_mask, b
 
         # first maxf frames with the standard path
         key, sub = jax.random.split(key)
@@ -411,43 +417,39 @@ class NUWA(Module):
             num_frames=maxf, decode_video=False,
         )
 
-        from ..ops.sampling import gumbel_sample, top_k_filter
+        from ..decode import TransformerDecoder
 
         win = maxf * tpf  # window = (maxf-1) prior frames + current frame
+        W = (maxf - 1) * tpf
+        dec = TransformerDecoder(self.video_transformer, total_in=win)
+        cache_dtype = self._dtype if self._dtype is not None else jnp.float32
+        ptr = p["video_transformer"]
+        pos_emb = self._video_pos_emb(p["video_pos_emb"])
 
         @jax.jit
         def decode_frame(window, key):
-            """window: (b, win) with the last tpf positions to be filled."""
-
-            def step(carry, t):
-                window, key = carry
-                key, sub = jax.random.split(key)
-                inp = window[:, : win - 1]
-                i = (maxf - 1) * tpf + t
-                if use_cfg:
-                    logits2 = self._decode_logits(
-                        p, jnp.concatenate([inp, inp], axis=0), ctx2, cmask2
-                    )
-                    row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
-                    logits = row[b:] + (row[:b] - row[b:]) * cond_scale
-                else:
-                    lg = self._decode_logits(p, inp, text_embeds, text_mask)
-                    logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
-                filtered = top_k_filter(logits, thres=filter_thres)
-                sample = gumbel_sample(sub, filtered, temperature=temperature)
-                window = window.at[:, (maxf - 1) * tpf + t].set(sample.astype(jnp.int32))
-                return (window, key), sample.astype(jnp.int32)
-
-            (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
-            return frame.T  # (b, tpf)
+            """window: (b, W) prior frames' tokens; returns the next frame."""
+            caches = dec.init_cache(ptr, eb, ctx, cmask, dtype=cache_dtype)
+            # prefill decoder positions 0..W-1: inputs [bos, tok_0..tok_{W-2}]
+            emb = jnp.take(p["image_embedding"]["table"], window[:, : W - 1], axis=0)
+            emb = emb + pos_emb[: W - 1][None]
+            bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+            x = jnp.concatenate([bos, emb], axis=1)
+            if use_cfg:
+                x = jnp.concatenate([x, x], axis=0)
+            caches = dec.prefill(ptr, caches, x.astype(cache_dtype))
+            return cached_ar_rollout(
+                dec=dec, p_transformer=ptr, caches=caches,
+                embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
+                bos_vec=p["video_bos"], to_logits=p["to_logits"],
+                batch=b, total=tpf, key=key, filter_thres=filter_thres,
+                temperature=temperature, cond_scale=cond_scale, dim=self.dim,
+                dtype=self._dtype, start_pos=W, init_prev=window[:, -1],
+            )
 
         for _ in range(num_frames - maxf):
             key, sub = jax.random.split(key)
-            window = jnp.concatenate(
-                [indices[:, -(maxf - 1) * tpf :], jnp.zeros((b, tpf), jnp.int32)],
-                axis=1,
-            )
-            frame = decode_frame(window, sub)
+            frame = decode_frame(indices[:, -W:], sub)
             indices = jnp.concatenate([indices, frame], axis=1)
 
         if not decode_video or self.vae is None:

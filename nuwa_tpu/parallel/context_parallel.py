@@ -36,14 +36,17 @@ def context_parallel_sparse_3dna(
     HW = fh * fw
     b, n, dim = x.shape
     t = n - 1
-    pad_t = (-t) % HW
+    # pad to a whole number of frames per shard (phantom frames are masked
+    # out of every neighborhood below and sliced off the output) — frame
+    # counts need not divide the shard count
+    F_cur = -(-t // HW)
+    Floc = -(-F_cur // nd)
+    F_cur = Floc * nd
+    pad_t = F_cur * HW - t
     if pad_t:
         x = jnp.concatenate(
             [x, jnp.zeros((b, pad_t, dim), x.dtype)], axis=1
         )
-    F_cur = (t + pad_t) // HW
-    assert F_cur % nd == 0, f"{F_cur} frames not divisible by {nd} shards"
-    Floc = F_cur // nd
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     LB = (kf - 1) * df

@@ -70,6 +70,27 @@ class Sandwich(Module):
 
 
 @dataclass(frozen=True)
+class BindCP(Module):
+    """Statically bind a context-parallel mesh into a block.
+
+    The reversible runtimes route *differentiable* ctx entries through their
+    custom_vjp (reversible.py); a `jax.sharding.Mesh` is static config, so it
+    rides the module closure instead — the couples are rebuilt per call, and
+    `jax.vjp` differentiates through the shard_map'd halo exchange directly
+    (its transpose ppermutes the halo cotangents back)."""
+
+    inner: Module
+    cp_mesh: object
+    cp_axis: str = "data"
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def __call__(self, p, x, **kw):
+        return self.inner(p, x, cp_mesh=self.cp_mesh, cp_axis=self.cp_axis, **kw)
+
+
+@dataclass(frozen=True)
 class ShiftVideo(Module):
     inner: Module
     image_size: int
@@ -361,13 +382,15 @@ class ReversibleTransformer(Transformer):
     def _include_cross_ff(self):
         return True
 
-    def _couples(self):
+    def _couples(self, cp_mesh=None, cp_axis="data"):
         menu = self.layer_menu
         couples = []
         i = 0
         while i < len(menu):
             kind, module = menu[i]
             if kind == "self":
+                if cp_mesh is not None and self.sparse_3dna_attn:
+                    module = BindCP(module, cp_mesh=cp_mesh, cp_axis=cp_axis)
                 # pair with the trailing "ff" entry of this depth
                 ff_entry = next(
                     e for e in menu[i + 1 :] if e[0] == "ff"
@@ -406,13 +429,10 @@ class ReversibleTransformer(Transformer):
         key=None,
         reverse=True,
         cp_mesh=None,
+        cp_axis="data",
         **_,
     ):
-        assert cp_mesh is None, (
-            "context parallelism is supported on the non-reversible "
-            "Transformer (a mesh can't ride the reversible ctx routing)"
-        )
-        couples = self._couples()
+        couples = self._couples(cp_mesh=cp_mesh, cp_axis=cp_axis)
         ctx = {
             "mask": mask,
             "context": context,

@@ -315,6 +315,105 @@ def test_dual_model_forward_under_context_parallelism():
     np.testing.assert_allclose(float(cp), float(ref), rtol=1e-5)
 
 
+def _cp_rev_model():
+    """Reversible sparse-3DNA decoder (BASELINE config #3 shape class)."""
+    return NUWA(
+        dim=16,
+        image_size=2,
+        num_image_tokens=16,
+        max_video_frames=8,
+        text_num_tokens=32,
+        text_enc_depth=1,
+        text_enc_dim_head=8,
+        text_enc_heads=2,
+        dec_depth=2,
+        dec_dim_head=8,
+        dec_heads=2,
+        dec_reversible=True,
+        sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=(1, 2),
+        sparse_3dna_rel_pos_bias=True,
+        shift_video_tokens=True,
+    )
+
+
+def test_reversible_context_parallel_forward_and_grads():
+    """CP must compose with the reversible runtime: the O(1)-memory
+    custom_vjp recomputes through the shard_map'd halo exchange, and its
+    jax.vjp ppermutes the halo cotangents back. Forward AND grads must match
+    the unmeshed reversible model."""
+    model = _cp_rev_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    text = jax.random.randint(KEY, (2, 4), 1, 32)
+    video = jax.random.randint(jax.random.PRNGKey(1), (2, 8 * 4), 0, 16)
+
+    def loss(p, cp):
+        return model.forward(p, text=text, video=video, return_loss=True, cp_mesh=cp)
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, None))(params)
+    l_cp, g_cp = jax.value_and_grad(lambda p: loss(p, mesh))(params)
+    np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_cp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_dual_reversible_context_parallel():
+    """The reversible dual decoder (BASELINE flagship config #5 class) under
+    frame-axis CP: loss and grads match the unmeshed reversible model."""
+    from conftest import make_tiny_vae
+    from nuwa_tpu.models import NUWAVideoAudio
+
+    vae = make_tiny_vae(3)
+    k = jax.random.PRNGKey(0)
+    model = NUWAVideoAudio(
+        vae=vae, dim=16, image_size=8, num_audio_tokens=24,
+        num_audio_tokens_per_video_frame=3, max_video_frames=8,
+        text_num_tokens=32, text_max_seq_len=16, text_enc_depth=1,
+        text_enc_dim_head=8, text_enc_heads=2, dec_depth=2, dec_dim_head=8,
+        dec_heads=2, dec_reversible=True, cross_modality_attn_every=2,
+    )
+    p = model.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k))
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    text = jax.random.randint(k, (2, 4), 1, 32)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 3, 8, 8))
+    audio = jax.random.randint(jax.random.PRNGKey(2), (2, 8 * 3), 0, 24)
+
+    def loss(p_, cp):
+        return model.forward(
+            p_, text=text, video=video, audio=audio, return_loss=True, cp_mesh=cp
+        )
+
+    l_ref, g_ref = jax.value_and_grad(lambda p_: loss(p_, None))(p)
+    l_cp, g_cp = jax.value_and_grad(lambda p_: loss(p_, mesh))(p)
+    np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_cp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_context_parallel_nondivisible_frames():
+    """F=10 frames on 4 devices (BASELINE config #3's literal frame count):
+    phantom frames are padded per shard and masked out of neighborhoods."""
+    from nuwa_tpu.nda import Sparse3DNA
+    from nuwa_tpu.parallel.context_parallel import context_parallel_sparse_3dna
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    mod = Sparse3DNA(
+        dim=16, video_shape=(10, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    p = mod.init(KEY)
+    for t in (10 * 4, 10 * 4 - 3):  # full grid and ragged tail
+        x = jax.random.normal(KEY, (2, 1 + t, 16))
+        ref = np.asarray(mod(p, x))
+        out = np.asarray(context_parallel_sparse_3dna(mod, p, x, mesh, axis="data"))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_context_parallel_bos_only_input():
     """A bos-only sequence (t == 0) under cp_mesh takes the bos early-return
     instead of crashing in the halo geometry (ZeroDivision on Floc=0)."""
