@@ -110,6 +110,29 @@ class _SparseCausal2DNAStep:
         out = jnp.where(is_bos, v_i, out)
         return Dense(mod.inner_dim, mod.dim)(p["to_out"], out.reshape(b, h * dh)), cache
 
+    def prefill(self, p, cache, x):
+        """x: (b, n, dim) audio-tower inputs, position 0 = bos. Fills bos +
+        rows 0..n-2 of the k/v buffers; outputs via the module's full
+        forward."""
+        mod = self.mod
+        b, n, _ = x.shape
+        h, dh = mod.heads, mod.dim_head
+        qkv = Dense(mod.dim, mod.inner_dim * 3)(p["to_qkv"], x)
+        _, k, v = jnp.split(qkv, 3, axis=-1)
+        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        cache = dict(cache)
+        cache["k_bos"] = k[:, :, 0].astype(cache["k_bos"].dtype)
+        cache["v_bos"] = v[:, :, 0].astype(cache["v_bos"].dtype)
+        if n > 1:
+            cache["k"] = cache["k"].at[:, :, : n - 1].set(
+                k[:, :, 1:].astype(cache["k"].dtype)
+            )
+            cache["v"] = cache["v"].at[:, :, : n - 1].set(
+                v[:, :, 1:].astype(cache["v"].dtype)
+            )
+        return mod(p, x), cache
+
 
 class _ShiftAudioStep:
     """Incremental audio token-shift: first half channels read from pos-1.
@@ -137,6 +160,20 @@ class _ShiftAudioStep:
         shifted_head = jnp.where(pos > 0, prev[:, :half], 0.0)
         x_i = jnp.concatenate([shifted_head, x_i[:, half:]], axis=-1)
         out, cache2 = self.inner(p, cache, x_i, pos, **kw)
+        cache2 = dict(cache2)
+        cache2["shift_buf"] = cache["shift_buf"]
+        return out, cache2
+
+    def prefill(self, p, cache, x):
+        from .ops.shift import shift_audio_tokens
+
+        cache = dict(cache)
+        n = x.shape[1]
+        cache["shift_buf"] = cache["shift_buf"].at[:, :n].set(
+            x.astype(cache["shift_buf"].dtype)
+        )
+        xs = shift_audio_tokens(x, self.w.audio_tokens_per_timestep)
+        out, cache2 = self.inner.prefill(p, cache, xs)
         cache2 = dict(cache2)
         cache2["shift_buf"] = cache["shift_buf"]
         return out, cache2
@@ -306,6 +343,88 @@ class DualDecoderCache:
         return caches
 
     # ------------------------------------------------------------------
+
+    def prefill(self, p, caches, x_v, x_a):
+        """Joint vectorized prefill of both towers over window inputs
+        ``x_v`` (b, nv, dim) / ``x_a`` (b, na, dim), positions 0..n-1 each
+        (position 0 = the stream bos). Leaves every cache exactly as the
+        equivalent interleaved incremental steps would, and returns
+        ``(y_v, y_a, caches)`` with the post-norm outputs (the last audio
+        row seeds the rollout's ``pending`` logits).
+
+        xmod blocks run the full CrossModalityCrossAttention module —
+        chunk-aligned reads only touch completed opposite-stream chunks, so
+        the ragged audio-ahead-of-video window (na = nv·atpf/vtpf + 1) is
+        safe (the module zeroes ragged trailing chunks)."""
+        nv, na = x_v.shape[1], x_a.shape[1]
+        new_caches = list(caches)
+        if self.reversible:
+            v1 = v2 = x_v
+            a1 = a2 = x_a
+        else:
+            v, a = x_v, x_a
+
+        for i, ((btype, steps), lp) in enumerate(zip(self.steps, p["layers"])):
+            c = dict(caches[i])
+            if btype == "xmod":
+                # full-module math; mods = (v2a, audio_ff, a2v, video_ff)
+                _, mods, _ = self.blocks[i]
+                v2a, aff_m, a2v, vff_m = mods
+                if self.reversible:
+                    # x1 += f(x2, m2); x2 += k(x1); vbuf <- updated x2;
+                    # abuf <- pre-update m2; m1 += j(m2, x2); m2 += g(m1)
+                    v1 = v1 + v2a(lp["f"], v2, a2)
+                    v2 = v2 + vff_m(lp["k"], v1)
+                    c["abuf"] = c["abuf"].at[:, :na].set(
+                        a2.astype(c["abuf"].dtype)
+                    )
+                    a1 = a1 + a2v(lp["j"], a2, v2)
+                    a2 = a2 + aff_m(lp["g"], a1)
+                    c["vbuf"] = c["vbuf"].at[:, :nv].set(
+                        v2.astype(c["vbuf"].dtype)
+                    )
+                else:
+                    # both sides read pre-update opposite streams
+                    c["vbuf"] = c["vbuf"].at[:, :nv].set(v.astype(c["vbuf"].dtype))
+                    c["abuf"] = c["abuf"].at[:, :na].set(a.astype(c["abuf"].dtype))
+                    out_v = v2a(lp["f"], v, a)
+                    out_a = a2v(lp["j"], a, v)
+                    v = v + out_v
+                    v = v + vff_m(lp["k"], v)
+                    a = a + out_a
+                    a = a + aff_m(lp["g"], a)
+            else:
+                v_attn, v_ff, a_attn, a_ff = steps
+                if self.reversible:
+                    out, c["v_attn"] = v_attn.prefill(lp["f"], c["v_attn"], v2)
+                    v1 = v1 + out
+                    out, c["v_ff"] = v_ff.prefill(lp["g"], c["v_ff"], v1)
+                    v2 = v2 + out
+                    out, c["a_attn"] = a_attn.prefill(lp["j"], c["a_attn"], a2)
+                    a1 = a1 + out
+                    out, c["a_ff"] = a_ff.prefill(lp["k"], c["a_ff"], a1)
+                    a2 = a2 + out
+                else:
+                    out, c["v_attn"] = v_attn.prefill(lp["f"], c["v_attn"], v)
+                    v = v + out
+                    out, c["v_ff"] = v_ff.prefill(lp["g"], c["v_ff"], v)
+                    v = v + out
+                    out, c["a_attn"] = a_attn.prefill(lp["j"], c["a_attn"], a)
+                    a = a + out
+                    out, c["a_ff"] = a_ff.prefill(lp["k"], c["a_ff"], a)
+                    a = a + out
+            new_caches[i] = c
+
+        if self.reversible:
+            yv, ya = (v1 + v2) * 0.5, (a1 + a2) * 0.5
+        else:
+            yv, ya = v, a
+        norm = StableLayerNorm(self.d.dim)
+        return (
+            norm(p["video_norm"], yv),
+            norm(p["audio_norm"], ya),
+            new_caches,
+        )
 
     def step_video(self, p, caches, x_i, vpos):
         return self._step(p, caches, x_i, vpos, "video")

@@ -41,10 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # dtype of the in-kernel score/probability cache. bf16 halves VMEM; the
 # backward rounds its recomputed *scores* through this dtype so P stays
-# consistent with the saved lse up to the cache rounding (the whole-frame
-# forward additionally rounds the exp'd probabilities when storing them, a
-# deviation of O(bf16 eps) that the fp32-cache tests show is the only one;
-# the row-blocked forward normalizes directly and matches exactly).
+# consistent with the saved lse up to the cache rounding. Two residual
+# deviations remain, both O(bf16 eps) and measured ~4e-6 on chip: (a) the
+# whole-frame forward additionally rounds the exp'd probabilities (p_buf)
+# through the cache dtype before the PV matmul while the backward recomputes
+# P in fp32 from the rounded scores, so d(softmax) pairs with a slightly
+# different realized P than the forward used; (b) the lse itself is the
+# rounded-score logsumexp. The row-blocked forward normalizes directly and
+# matches exactly; all deviations vanish with _CACHE_DTYPE = fp32 (the
+# configuration the parity tests pin).
 _CACHE_DTYPE = jnp.bfloat16
 
 

@@ -379,14 +379,18 @@ class NUWA(Module):
         cond_scale=2.0,
         decode_max_batchsize=10,
         decode_video=True,
+        method="cached",
     ):
         """Generate ``num_frames > max_video_frames`` with the reference's
         sliding frame window (nuwa_pytorch.py:1874-1877): once the buffer is
         full, each new frame is decoded against the last max_video_frames-1
-        frames. Per frame: one vectorized ``prefill`` re-primes fresh caches
-        over the window (O(window) once), then tpf cached steps at
-        O(depth·Kn) each — cached-level throughput instead of the full
-        re-forward per token the reference pays.
+        frames.
+
+        ``method="cached"``: per frame, one vectorized ``prefill`` re-primes
+        fresh caches over the window (O(window) once), then tpf cached steps
+        at O(depth·Kn) each — cached-level throughput instead of the full
+        re-forward per token. ``method="full"`` re-runs the whole decoder per
+        token (the reference's pattern; kept as the parity oracle).
         """
         b = text.shape[0]
         tpf = self.tokens_per_frame
@@ -396,7 +400,7 @@ class NUWA(Module):
                 p, text=text, key=key, filter_thres=filter_thres,
                 temperature=temperature, cond_scale=cond_scale,
                 num_frames=num_frames, decode_video=decode_video,
-                decode_max_batchsize=decode_max_batchsize,
+                decode_max_batchsize=decode_max_batchsize, method=method,
             )
 
         text_mask = text != 0
@@ -414,38 +418,72 @@ class NUWA(Module):
         indices = self.generate(
             p, text=text, key=sub, filter_thres=filter_thres,
             temperature=temperature, cond_scale=cond_scale,
-            num_frames=maxf, decode_video=False,
+            num_frames=maxf, decode_video=False, method=method,
         )
-
-        from ..decode import TransformerDecoder
 
         win = maxf * tpf  # window = (maxf-1) prior frames + current frame
         W = (maxf - 1) * tpf
-        dec = TransformerDecoder(self.video_transformer, total_in=win)
-        cache_dtype = self._dtype if self._dtype is not None else jnp.float32
-        ptr = p["video_transformer"]
-        pos_emb = self._video_pos_emb(p["video_pos_emb"])
 
-        @jax.jit
-        def decode_frame(window, key):
-            """window: (b, W) prior frames' tokens; returns the next frame."""
-            caches = dec.init_cache(ptr, eb, ctx, cmask, dtype=cache_dtype)
-            # prefill decoder positions 0..W-1: inputs [bos, tok_0..tok_{W-2}]
-            emb = jnp.take(p["image_embedding"]["table"], window[:, : W - 1], axis=0)
-            emb = emb + pos_emb[: W - 1][None]
-            bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
-            x = jnp.concatenate([bos, emb], axis=1)
-            if use_cfg:
-                x = jnp.concatenate([x, x], axis=0)
-            caches = dec.prefill(ptr, caches, x.astype(cache_dtype))
-            return cached_ar_rollout(
-                dec=dec, p_transformer=ptr, caches=caches,
-                embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
-                bos_vec=p["video_bos"], to_logits=p["to_logits"],
-                batch=b, total=tpf, key=key, filter_thres=filter_thres,
-                temperature=temperature, cond_scale=cond_scale, dim=self.dim,
-                dtype=self._dtype, start_pos=W, init_prev=window[:, -1],
-            )
+        if method == "cached":
+            from ..decode import TransformerDecoder
+
+            dec = TransformerDecoder(self.video_transformer, total_in=win)
+            cache_dtype = self._dtype if self._dtype is not None else jnp.float32
+            ptr = p["video_transformer"]
+            pos_emb = self._video_pos_emb(p["video_pos_emb"])
+
+            @jax.jit
+            def decode_frame(window, key):
+                """window: (b, W) prior tokens; returns the next frame."""
+                caches = dec.init_cache(ptr, eb, ctx, cmask, dtype=cache_dtype)
+                # prefill positions 0..W-1: inputs [bos, tok_0..tok_{W-2}]
+                emb = jnp.take(p["image_embedding"]["table"], window[:, : W - 1], axis=0)
+                emb = emb + pos_emb[: W - 1][None]
+                bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+                x = jnp.concatenate([bos, emb], axis=1)
+                if use_cfg:
+                    x = jnp.concatenate([x, x], axis=0)
+                caches = dec.prefill(ptr, caches, x.astype(cache_dtype))
+                return cached_ar_rollout(
+                    dec=dec, p_transformer=ptr, caches=caches,
+                    embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
+                    bos_vec=p["video_bos"], to_logits=p["to_logits"],
+                    batch=b, total=tpf, key=key, filter_thres=filter_thres,
+                    temperature=temperature, cond_scale=cond_scale, dim=self.dim,
+                    dtype=self._dtype, start_pos=W, init_prev=window[:, -1],
+                )
+
+        else:
+            from ..ops.sampling import gumbel_sample, top_k_filter
+
+            @jax.jit
+            def decode_frame(window_prev, key):
+                """window_prev: (b, W) prior tokens (full re-forward oracle)."""
+                window = jnp.concatenate(
+                    [window_prev, jnp.zeros((b, tpf), jnp.int32)], axis=1
+                )
+
+                def step(carry, t):
+                    window, key = carry
+                    key, sub = jax.random.split(key)
+                    inp = window[:, : win - 1]
+                    i = W + t
+                    if use_cfg:
+                        logits2 = self._decode_logits(
+                            p, jnp.concatenate([inp, inp], axis=0), ctx, cmask
+                        )
+                        row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
+                        logits = row[b:] + (row[:b] - row[b:]) * cond_scale
+                    else:
+                        lg = self._decode_logits(p, inp, text_embeds, text_mask)
+                        logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
+                    filtered = top_k_filter(logits, thres=filter_thres)
+                    sample = gumbel_sample(sub, filtered, temperature=temperature)
+                    window = window.at[:, i].set(sample.astype(jnp.int32))
+                    return (window, key), sample.astype(jnp.int32)
+
+                (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
+                return frame.T  # (b, tpf)
 
         for _ in range(num_frames - maxf):
             key, sub = jax.random.split(key)

@@ -284,9 +284,12 @@ class NUWASketch(Module):
         cond_scale=2.0,
         decode_max_batchsize=10,
         decode_video=True,
+        method="cached",
     ):
         """Sliding frame-window rollout past max_video_frames (reference
-        :2471-2474)."""
+        :2471-2474). ``method="cached"``: per frame, one vectorized cache
+        ``prefill`` over the window then tpf O(depth·Kn) cached steps;
+        ``method="full"`` is the reference-style per-token re-forward oracle."""
         if sketch.ndim == 4:
             sketch = sketch[:, None]
         b = sketch.shape[0]
@@ -298,61 +301,96 @@ class NUWASketch(Module):
                 filter_thres=filter_thres, temperature=temperature,
                 cond_scale=cond_scale, num_frames=num_frames,
                 decode_video=decode_video,
-                decode_max_batchsize=decode_max_batchsize,
+                decode_max_batchsize=decode_max_batchsize, method=method,
             )
 
         sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
         use_cfg = cond_scale != 1
         if use_cfg:
-            ctx2 = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
-            cmask2 = jnp.concatenate(
+            ctx = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
+            cmask = jnp.concatenate(
                 [context_mask, jnp.zeros_like(context_mask)], axis=0
             )
+            eb = 2 * b
+        else:
+            ctx, cmask, eb = sketch_embeds, context_mask, b
 
         key, sub = jax.random.split(key)
         indices = self.generate(
             p, sketch=sketch, key=sub, sketch_mask=sketch_mask,
             filter_thres=filter_thres, temperature=temperature,
             cond_scale=cond_scale, num_frames=maxf, decode_video=False,
+            method=method,
         )
 
-        from ..ops.sampling import gumbel_sample, top_k_filter
-
         win = maxf * tpf
+        W = (maxf - 1) * tpf
 
-        @jax.jit
-        def decode_frame(window, key):
-            def step(carry, t):
-                window, key = carry
-                key, sub = jax.random.split(key)
-                inp = window[:, : win - 1]
-                i = (maxf - 1) * tpf + t
-                if use_cfg:
-                    logits2 = self._decode_logits(
-                        p, jnp.concatenate([inp, inp], axis=0), ctx2, cmask2
-                    )
-                    row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
-                    logits = row[b:] + (row[:b] - row[b:]) * cond_scale
-                else:
-                    lg = self._decode_logits(p, inp, sketch_embeds, context_mask)
-                    logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
-                filtered = top_k_filter(logits, thres=filter_thres)
-                sample = gumbel_sample(sub, filtered, temperature=temperature)
-                window = window.at[:, (maxf - 1) * tpf + t].set(
-                    sample.astype(jnp.int32)
+        if method == "cached":
+            from ..decode import TransformerDecoder
+            from .common import cached_ar_rollout
+
+            dec = TransformerDecoder(self.video_transformer, total_in=win)
+            ptr = p["video_transformer"]
+            pos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+                p["video_pos_emb"]
+            )
+
+            @jax.jit
+            def decode_frame(window, key):
+                caches = dec.init_cache(ptr, eb, ctx, cmask)
+                emb = jnp.take(
+                    p["image_embedding"]["table"], window[:, : W - 1], axis=0
                 )
-                return (window, key), sample.astype(jnp.int32)
+                emb = emb + pos_emb[: W - 1][None]
+                bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+                x = jnp.concatenate([bos, emb], axis=1)
+                if use_cfg:
+                    x = jnp.concatenate([x, x], axis=0)
+                caches = dec.prefill(ptr, caches, x)
+                return cached_ar_rollout(
+                    dec=dec, p_transformer=ptr, caches=caches,
+                    embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
+                    bos_vec=p["video_bos"], to_logits=p["to_logits"],
+                    batch=b, total=tpf, key=key, filter_thres=filter_thres,
+                    temperature=temperature, cond_scale=cond_scale,
+                    dim=self.dim, start_pos=W, init_prev=window[:, -1],
+                )
 
-            (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
-            return frame.T
+        else:
+            from ..ops.sampling import gumbel_sample, top_k_filter
+
+            @jax.jit
+            def decode_frame(window_prev, key):
+                window = jnp.concatenate(
+                    [window_prev, jnp.zeros((b, tpf), jnp.int32)], axis=1
+                )
+
+                def step(carry, t):
+                    window, key = carry
+                    key, sub = jax.random.split(key)
+                    inp = window[:, : win - 1]
+                    i = W + t
+                    if use_cfg:
+                        logits2 = self._decode_logits(
+                            p, jnp.concatenate([inp, inp], axis=0), ctx, cmask
+                        )
+                        row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
+                        logits = row[b:] + (row[:b] - row[b:]) * cond_scale
+                    else:
+                        lg = self._decode_logits(p, inp, sketch_embeds, context_mask)
+                        logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
+                    filtered = top_k_filter(logits, thres=filter_thres)
+                    sample = gumbel_sample(sub, filtered, temperature=temperature)
+                    window = window.at[:, i].set(sample.astype(jnp.int32))
+                    return (window, key), sample.astype(jnp.int32)
+
+                (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
+                return frame.T
 
         for _ in range(num_frames - maxf):
             key, sub = jax.random.split(key)
-            window = jnp.concatenate(
-                [indices[:, -(maxf - 1) * tpf :], jnp.zeros((b, tpf), jnp.int32)],
-                axis=1,
-            )
-            frame = decode_frame(window, sub)
+            frame = decode_frame(indices[:, -W:], sub)
             indices = jnp.concatenate([indices, frame], axis=1)
 
         if not decode_video:

@@ -345,14 +345,54 @@ class NUWAVideoAudio(Module):
         y0, caches = dec.step_audio(ptr, caches, audio_input(0, jnp.zeros((b,), jnp.int32)), jnp.asarray(0))
         pending0 = cfg_mix(jnp.dot(y0, dequant(p["to_audio_logits"], y0.dtype)))
 
-        # Per-frame two-phase rollout: an outer scan over frames with an inner
-        # video-token scan then an inner audio-token scan. The modality
-        # schedule is static per frame, so this compiles each tower's step
-        # exactly once — the earlier per-token ``lax.cond`` between the two
-        # tower steps compiled both branches inside one fused scan body and
-        # took ~35 min through the remote-compile tunnel. PRNG keys split in
-        # the same global order as the flat schedule, so samples (and the
-        # cached-vs-full parity tests) stay bit-exact.
+        vbuf0 = jnp.zeros((b, total_v), jnp.int32)
+        abuf0 = jnp.zeros((b, total_a), jnp.int32)
+        prev0 = jnp.zeros((b,), jnp.int32)
+        _, vbuf, abuf = self._dual_frame_rollout(
+            p, dec, ptr, caches, pending0, prev0, vbuf0, abuf0,
+            jnp.arange(num_frames), key, b, use_cfg,
+            filter_thres, temperature, cond_scale,
+        )
+        return vbuf, abuf
+
+    def _dual_frame_rollout(
+        self, p, dec, ptr, caches, pending0, prev_v0, vbuf0, abuf0,
+        frame_ids, key, b, use_cfg, filter_thres, temperature, cond_scale,
+    ):
+        """Per-frame two-phase rollout: an outer scan over ``frame_ids`` with
+        an inner video-token scan then an inner audio-token scan. The
+        modality schedule is static per frame, so this compiles each tower's
+        step exactly once — a per-token ``lax.cond`` between the two tower
+        steps would compile both branches inside one fused scan body (~35 min
+        through the remote-compile tunnel). PRNG keys split in the same
+        global order as the flat schedule, so samples (and the cached-vs-full
+        parity tests) stay bit-exact. Shared by ``generate`` (frames
+        0..n-1) and ``generate_long`` (one window-relative frame at a time).
+        """
+        vtpf = self.num_video_tokens_per_frame
+        atpf = self.num_audio_tokens_per_video_frame
+        vpos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+            p["video_pos_emb"]
+        )
+        apos_emb = self._audio_pos_emb(p["audio_pos_emb"])
+        vtable = p["image_embedding"]["table"]
+        atable = p["audio_embedding"]["table"]
+
+        def widen(x):
+            return jnp.concatenate([x, x], axis=0) if use_cfg else x
+
+        def cfg_mix(logits):
+            if not use_cfg:
+                return logits
+            cond, uncond = logits[:b], logits[b:]
+            return uncond + (cond - uncond) * cond_scale
+
+        def audio_input(pos, prev_tok):
+            bos = jnp.broadcast_to(p["audio_bos"], (b, self.dim))
+            emb = jnp.take(atable, prev_tok, axis=0) + jax.lax.dynamic_index_in_dim(
+                apos_emb, jnp.maximum(pos - 1, 0), 0, keepdims=False
+            )
+            return widen(jnp.where(pos == 0, bos, emb))
 
         def video_step(carry, i):
             caches, pending, prev_v, vbuf, abuf, key, f = carry
@@ -390,15 +430,197 @@ class NUWAVideoAudio(Module):
             caches, pending, prev_v, vbuf, abuf, key, _ = inner
             return (caches, pending, prev_v, vbuf, abuf, key), None
 
-        vbuf0 = jnp.zeros((b, total_v), jnp.int32)
-        abuf0 = jnp.zeros((b, total_a), jnp.int32)
-        prev0 = jnp.zeros((b,), jnp.int32)
         (caches, _, _, vbuf, abuf, _), _ = jax.lax.scan(
             frame_step,
-            (caches, pending0, prev0, vbuf0, abuf0, key),
-            jnp.arange(num_frames),
+            (caches, pending0, prev_v0, vbuf0, abuf0, key),
+            frame_ids,
         )
-        return vbuf, abuf
+        return caches, vbuf, abuf
+
+    # ---- sliding-window long rollout --------------------------------------
+
+    def generate_long(
+        self,
+        p,
+        *,
+        text,
+        key,
+        num_frames,
+        filter_thres=0.9,
+        temperature=1.0,
+        cond_scale=2.0,
+        decode_max_batchsize=10,
+        decode_video=True,
+        method="cached",
+    ):
+        """Generate ``num_frames > max_video_frames`` of joint video+audio
+        with a frame-aligned sliding window over BOTH modalities.
+
+        The reference's dual ``generate`` nominally slides its lookback
+        (nuwa_pytorch.py:2153-2154) but the guard compares against the
+        *requested* total instead of ``max_video_frames`` — rolling past the
+        maximum overruns the axial pos-emb table (and the audio side never
+        slides at all); this implements the evident intent (the NUWA
+        pattern, :1876-1877): each new frame is decoded against the previous
+        ``max_video_frames - 1`` frames of video and audio tokens.
+
+        ``method="cached"``: per frame, one joint vectorized ``prefill`` of
+        both towers over the window, then vtpf+atpf cached steps.
+        ``method="full"`` re-runs the dual decoder per token (oracle).
+        """
+        b = text.shape[0]
+        maxf = self.max_video_frames
+        vtpf = self.num_video_tokens_per_frame
+        atpf = self.num_audio_tokens_per_video_frame
+        if num_frames <= maxf:
+            return self.generate(
+                p, text=text, key=key, filter_thres=filter_thres,
+                temperature=temperature, cond_scale=cond_scale,
+                num_frames=num_frames, decode_video=decode_video,
+                decode_max_batchsize=decode_max_batchsize, method=method,
+            )
+        assert num_frames * atpf <= self.num_audio_tokens, (
+            "audio pos-emb table too small for the requested rollout"
+        )
+
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+        use_cfg = cond_scale != 1
+        if use_cfg:
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+            eb = 2 * b
+        else:
+            ctx, cmask, eb = text_embeds, text_mask, b
+
+        key, sub = jax.random.split(key)
+        vidx, aidx = self.generate(
+            p, text=text, key=sub, filter_thres=filter_thres,
+            temperature=temperature, cond_scale=cond_scale,
+            num_frames=maxf, decode_video=False, method=method,
+        )
+
+        Wv, Wa = (maxf - 1) * vtpf, (maxf - 1) * atpf
+
+        if method == "cached":
+            from ..decode_dual import DualDecoderCache
+
+            ptr = p["video_audio_transformer"]
+            dec = DualDecoderCache(
+                self.video_audio_transformer,
+                total_v_in=maxf * vtpf,
+                total_a_in=maxf * atpf + 1,
+            )
+            vpos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+                p["video_pos_emb"]
+            )
+            apos_emb = self._audio_pos_emb(p["audio_pos_emb"])
+
+            def widen(x):
+                return jnp.concatenate([x, x], axis=0) if use_cfg else x
+
+            def cfg_mix(logits):
+                if not use_cfg:
+                    return logits
+                cond, uncond = logits[:b], logits[b:]
+                return uncond + (cond - uncond) * cond_scale
+
+            @jax.jit
+            def decode_frame(wv, wa, key):
+                """wv: (b, Wv), wa: (b, Wa) prior frames' tokens; decodes the
+                window-relative frame maxf-1 of both modalities."""
+                caches = dec.init_cache(ptr, eb, ctx, cmask)
+                # video inputs, positions 0..Wv-1: [bos, tok_0..tok_{Wv-2}]
+                v_emb = jnp.take(p["image_embedding"]["table"], wv[:, : Wv - 1], axis=0)
+                v_emb = v_emb + vpos_emb[: Wv - 1][None]
+                v_bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
+                x_v = widen(jnp.concatenate([v_bos, v_emb], axis=1))
+                # audio inputs, positions 0..Wa (one ahead: the rollout keeps
+                # the audio tower's NEXT-position logits pending)
+                a_emb = jnp.take(p["audio_embedding"]["table"], wa, axis=0)
+                a_emb = a_emb + apos_emb[:Wa][None]
+                a_bos = jnp.broadcast_to(p["audio_bos"], (b, 1, self.dim))
+                x_a = widen(jnp.concatenate([a_bos, a_emb], axis=1))
+
+                _, y_a, caches = dec.prefill(ptr, caches, x_v, x_a)
+                pending0 = cfg_mix(
+                    jnp.dot(y_a[:, -1], dequant(p["to_audio_logits"], y_a.dtype))
+                )
+                vbuf0 = jnp.zeros((b, maxf * vtpf), jnp.int32)
+                abuf0 = jnp.zeros((b, maxf * atpf), jnp.int32)
+                _, vbuf, abuf = self._dual_frame_rollout(
+                    p, dec, ptr, caches, pending0, wv[:, -1], vbuf0, abuf0,
+                    jnp.arange(maxf - 1, maxf), key, b, use_cfg,
+                    filter_thres, temperature, cond_scale,
+                )
+                return vbuf[:, Wv:], abuf[:, Wa:]
+
+        else:
+
+            @jax.jit
+            def decode_frame(wv, wa, key):
+                """Full re-forward oracle: per token, run the dual decoder on
+                the whole window pair."""
+                vwin = jnp.concatenate([wv, jnp.zeros((b, vtpf), jnp.int32)], axis=1)
+                awin = jnp.concatenate([wa, jnp.zeros((b, atpf), jnp.int32)], axis=1)
+
+                def logits_at(vwin, awin, vi, ai, want_video):
+                    v_inp = vwin[:, : maxf * vtpf - 1]
+                    a_inp = awin[:, : maxf * atpf - 1]
+                    if use_cfg:
+                        vl2, al2 = self._decode(
+                            p,
+                            jnp.concatenate([v_inp, v_inp], axis=0),
+                            jnp.concatenate([a_inp, a_inp], axis=0),
+                            ctx, cmask,
+                        )
+                        if want_video:
+                            row = jax.lax.dynamic_index_in_dim(vl2, vi, 1, keepdims=False)
+                        else:
+                            row = jax.lax.dynamic_index_in_dim(al2, ai, 1, keepdims=False)
+                        return row[b:] + (row[:b] - row[b:]) * cond_scale
+                    vl, al = self._decode(p, v_inp, a_inp, text_embeds, text_mask)
+                    if want_video:
+                        return jax.lax.dynamic_index_in_dim(vl, vi, 1, keepdims=False)
+                    return jax.lax.dynamic_index_in_dim(al, ai, 1, keepdims=False)
+
+                def video_step(carry, t):
+                    vwin, awin, key = carry
+                    key, sub = jax.random.split(key)
+                    logits = logits_at(vwin, awin, Wv + t, 0, True)
+                    filtered = top_k_filter(logits, thres=filter_thres)
+                    sample = gumbel_sample(sub, filtered, temperature=temperature)
+                    vwin = vwin.at[:, Wv + t].set(sample.astype(jnp.int32))
+                    return (vwin, awin, key), None
+
+                def audio_step(carry, t):
+                    vwin, awin, key = carry
+                    key, sub = jax.random.split(key)
+                    logits = logits_at(vwin, awin, 0, Wa + t, False)
+                    filtered = top_k_filter(logits, thres=filter_thres)
+                    sample = gumbel_sample(sub, filtered, temperature=temperature)
+                    awin = awin.at[:, Wa + t].set(sample.astype(jnp.int32))
+                    return (vwin, awin, key), None
+
+                carry = (vwin, awin, key)
+                carry, _ = jax.lax.scan(video_step, carry, jnp.arange(vtpf))
+                carry, _ = jax.lax.scan(audio_step, carry, jnp.arange(atpf))
+                vwin, awin, _ = carry
+                return vwin[:, Wv:], awin[:, Wa:]
+
+        for _ in range(num_frames - maxf):
+            key, sub = jax.random.split(key)
+            vfr, afr = decode_frame(vidx[:, -Wv:], aidx[:, -Wa:], sub)
+            vidx = jnp.concatenate([vidx, vfr], axis=1)
+            aidx = jnp.concatenate([aidx, afr], axis=1)
+
+        if not decode_video:
+            return vidx, aidx
+        video = self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], vidx,
+            decode_chunks=decode_max_batchsize,
+        )
+        return video, aidx
 
     # ---- sampling ---------------------------------------------------------
 

@@ -198,5 +198,21 @@ class SimpleTokenizer:
 
 
 # module-level singleton: CLIP vocab 49408 out of the box (vendored merges),
-# byte-level fallback only if the data asset is missing from the install
-tokenizer = SimpleTokenizer()
+# byte-level fallback only if the data asset is missing from the install.
+# Built lazily on first attribute access (PEP 562): parsing the 1.3 MB
+# gzipped merges file (49k-entry BPE table) is too costly to pay at
+# ``import nuwa_tpu`` for code paths that never tokenize text.
+_tokenizer_singleton = None
+
+
+def _get_tokenizer():
+    global _tokenizer_singleton
+    if _tokenizer_singleton is None:
+        _tokenizer_singleton = SimpleTokenizer()
+    return _tokenizer_singleton
+
+
+def __getattr__(name):
+    if name == "tokenizer":
+        return _get_tokenizer()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -167,7 +167,13 @@ class NUWATrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         # under context parallelism the 'data' axis carries the *frame*
-        # sharding inside the attention shard_map; batch stays replicated
+        # sharding inside the attention shard_map; batch stays replicated.
+        # Cost note: everything OUTSIDE the 3DNA shard_map (embeddings, FFs,
+        # cross-attn, logits, loss, grads) is then computed redundantly on
+        # every device — CP buys attention sequence-memory/compute scaling,
+        # not end-to-end speedup, at this mesh shape. Composing CP with
+        # batch sharding needs a second mesh axis (use mesh=(data, model)
+        # and context_parallel over a dedicated axis in a custom step).
         if self.context_parallel:
             spec = P()
         else:

@@ -47,12 +47,30 @@ def dequant(leaf, dtype=jnp.float32):
     return leaf.astype(dtype)
 
 
-def quantize_params_int8(params, *, skip=("vae", "sketch_vae")):
+def quantize_params_int8(
+    params, *, skip=("vae", "sketch_vae"), include=None, exclude=None
+):
     """Return a copy of ``params`` with projection weights quantized to int8.
 
     ``skip``: top-level subtrees left untouched (the frozen VAEs decode
     pixels / tokenize sketches — keep them full precision by default).
+
+    Selection is by '/'-joined path suffix against the known projection
+    names; ``include``/``exclude`` (regexes matched with ``re.search``
+    against the full path) narrow or veto it for user-defined modules that
+    happen to reuse names like ``project_out`` outside the transformer
+    stacks: a leaf is quantized iff the suffix matches AND (``include`` is
+    None or matches) AND NOT (``exclude`` matches).
     """
+    inc = re.compile(include) if isinstance(include, str) else include
+    exc = re.compile(exclude) if isinstance(exclude, str) else exclude
+
+    def selected(path):
+        if inc is not None and not inc.search(path):
+            return False
+        if exc is not None and exc.search(path):
+            return False
+        return True
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -63,6 +81,7 @@ def quantize_params_int8(params, *, skip=("vae", "sketch_vae")):
                 and getattr(node["w"], "ndim", 0) == 2
                 and node["w"].dtype != jnp.int8
                 and _QUANT_W_RE.search(path)
+                and selected(path)
             ):
                 q, scale = _quantize_w(node["w"])
                 out = dict(node)
@@ -76,7 +95,11 @@ def quantize_params_int8(params, *, skip=("vae", "sketch_vae")):
         if isinstance(node, (list, tuple)):
             t = type(node)
             return t(walk(v, f"{path}/{i}") for i, v in enumerate(node))
-        if getattr(node, "ndim", 0) == 2 and _QUANT_HEAD_RE.search(path):
+        if (
+            getattr(node, "ndim", 0) == 2
+            and _QUANT_HEAD_RE.search(path)
+            and selected(path)
+        ):
             q, scale = _quantize_w(node)
             return {"w": q, "w_scale": scale}
         return node

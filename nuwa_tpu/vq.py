@@ -238,16 +238,22 @@ class VectorQuantizeEMA(Module):
                 # threshold are re-seeded from random batch vectors. Deadness
                 # is judged on the psum'd (global) cluster sizes; under SPMD
                 # pjit the batch itself is global too. Under shard_map/pmap
-                # each device re-seeds from its local shard — pass the same
-                # rng on every device and psum-replicated stats keep the mask
-                # identical, so states only differ in the re-seeded rows
-                # (re-sync via a collective if exact replication matters).
+                # each device would otherwise re-seed from its *local* shard
+                # and silently desynchronize the replicated codebook — so the
+                # seed vectors are broadcast from device 0 of the axis
+                # (psum of an axis_index-masked copy keeps it collective-
+                # only, no host round-trip).
                 key = rng if rng is not None else jax.random.PRNGKey(0)
                 key = jax.random.fold_in(key, 1)
                 pick = jax.random.randint(
                     key, (self.codebook_size,), 0, zq_space.shape[0]
                 )
                 seeds = jnp.take(zq_space, pick, axis=0)
+                if axis_name is not None:
+                    is_first = (jax.lax.axis_index(axis_name) == 0).astype(
+                        seeds.dtype
+                    )
+                    seeds = jax.lax.psum(seeds * is_first, axis_name)
                 dead = cluster_size < self.threshold_ema_dead_code
                 thr = self.threshold_ema_dead_code
                 new_embed = jnp.where(dead[:, None], seeds, new_embed)

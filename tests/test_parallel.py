@@ -121,6 +121,37 @@ def test_vq_ema_global_under_sharding():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_vq_dead_code_expiry_replicated_under_shard_map():
+    """Dead-code re-seeding under an explicit axis_name must broadcast the
+    seed vectors from one replica — every device ends with an identical
+    codebook state (ADVICE r2: local-shard seeds silently desynced it)."""
+    from jax import shard_map
+    from nuwa_tpu.vq import VectorQuantizeEMA
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    vq = VectorQuantizeEMA(
+        dim=4, codebook_size=8, kmeans_init=False, cosine_sim=False,
+        threshold_ema_dead_code=2.0,  # high: plenty of codes die
+    )
+    p = vq.init(KEY)
+    s = vq.init_state(KEY)
+    x = jax.random.normal(KEY, (16, 4))
+
+    def local(x):
+        _, _, _, s2 = vq(
+            p, s, x, update=True, axis_name="data", rng=jax.random.PRNGKey(7)
+        )
+        return jax.tree.map(lambda t: t[None], s2)
+
+    stacked = shard_map(
+        local, mesh=mesh, in_specs=P("data", None), out_specs=P("data"),
+    )(x)
+    for leaf in jax.tree.leaves(stacked):
+        leaf = np.asarray(leaf)
+        for d in range(1, 4):
+            np.testing.assert_array_equal(leaf[d], leaf[0])
+
+
 def test_generate_under_mesh():
     """AR decode must run with sharded params (serving path)."""
     mesh = make_mesh(data=1, model=8)
