@@ -58,6 +58,8 @@ class DualModalityDecoder(Module):
     sparse_2dna_kernel_size: int = 7
     sparse_2dna_dilation: Tuple[int, ...] = (1,)
     sparse_2dna_rel_pos_bias: bool = False
+    sparse_2dna_use_pallas: bool = False
+    sparse_2dna_backend: str = "auto"
     shift_video_tokens: bool = False
     shift_audio_tokens: bool = False
     audio_tokens_per_timestep: int = 1
@@ -120,6 +122,8 @@ class DualModalityDecoder(Module):
                 dilation=a_dil,
                 rel_pos_bias=self.sparse_2dna_rel_pos_bias,
                 height=self.audio_tokens_per_timestep,
+                use_pallas=self.sparse_2dna_use_pallas,
+                backend=self.sparse_2dna_backend,
             )
             if self.shift_audio_tokens:
                 audio_self = ShiftAudio(

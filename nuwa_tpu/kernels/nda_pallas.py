@@ -185,11 +185,15 @@ def _kernel(
     dim_head: int,
     t_valid: int,
     causal_f: bool,
+    per_tap: bool = False,  # mask/sbias carry a leading (Kf,) tap dim
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
 
     q = q_ref[0].astype(jnp.float32)  # (h, HW, d) — pre-scaled by caller
+
+    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
+    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)  # (1, HW)
 
@@ -226,8 +230,8 @@ def _kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (h, HW, HW)
-        s = s + mask_ref[...][None]
-        s = s + sbias_ref[...]
+        s = s + mask_at(j)[None]
+        s = s + sbias_at(j)
         s = jnp.stack(
             [s[hh] + fbias_ref[hh, j] for hh in range(heads)], axis=0
         )
@@ -723,6 +727,7 @@ def _bwd_q_kernel(
     t_valid: int,
     causal_f: bool,
     rel_pos: bool,
+    per_tap: bool = False,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -733,6 +738,9 @@ def _bwd_q_kernel(
     lse = lse_ref[0].astype(f32)
     kbos = kbos_ref[0].astype(f32)  # (h, 1, d)
     vbos = vbos_ref[0].astype(f32)
+
+    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
+    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
 
@@ -771,8 +779,8 @@ def _bwd_q_kernel(
         s = jax.lax.dot_general(
             q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )
-        s = s + mask_ref[...][None]
-        s = s + sbias_ref[...]
+        s = s + mask_at(j)[None]
+        s = s + sbias_at(j)
         s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
@@ -803,6 +811,7 @@ def _bwd_q_kernel(
     dq_acc = ds_bos[..., None] * kbos           # (h, HW, d)
     dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
     dsb_acc = None
+    dsb_taps = []
     dfb_rows = []
     for j in range(Kf):
         kmat, vmat = fetch(j)
@@ -812,7 +821,10 @@ def _bwd_q_kernel(
             dS, kmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
         )
         if rel_pos:
-            dsb_acc = dS if dsb_acc is None else dsb_acc + dS
+            if per_tap:
+                dsb_taps.append(dS)
+            else:
+                dsb_acc = dS if dsb_acc is None else dsb_acc + dS
             cols = [
                 jnp.sum(dS[hh]).reshape(1, 1) for hh in range(heads)
             ]
@@ -831,7 +843,11 @@ def _bwd_q_kernel(
 
     dth_ref[...] += dth_acc
     if rel_pos:
-        dsb_ref[...] += dsb_acc
+        if per_tap:
+            for j in range(Kf):
+                dsb_ref[j] += dsb_taps[j]
+        else:
+            dsb_ref[...] += dsb_acc
         dfb_ref[...] += jnp.concatenate(dfb_rows, axis=0)  # (Kf, h)
 
     @pl.when(fi == 0)
@@ -866,10 +882,14 @@ def _bwd_kv_kernel(
     t_valid: int,
     causal_f: bool,
     num_f: int,
+    per_tap: bool = False,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
     f32 = jnp.float32
+
+    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
+    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
 
     kmat = k_ref[0].astype(f32)
     vmat = v_ref[0].astype(f32)
@@ -914,8 +934,8 @@ def _bwd_kv_kernel(
                 qm, kmat, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
-            s = s + mask_ref[...][None]
-            s = s + sbias_ref[...]
+            s = s + mask_at(j)[None]
+            s = s + sbias_at(j)
             s = jnp.stack(
                 [s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0
             )
@@ -1028,7 +1048,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpa
     kernel = functools.partial(
         _kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
-        t_valid=t, causal_f=mod.causal,
+        t_valid=t, causal_f=mod.causal, per_tap=geo.get("per_tap", False),
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1077,11 +1097,21 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
-    hb = sbias.shape[0]
+    per_tap = geo.get("per_tap", False)
+    hb = sbias.shape[1] if per_tap else sbias.shape[0]
+    dsb_shape = (kf, hb, HW, HW) if per_tap else (hb, HW, HW)
+    dsb_spec = (
+        pl.BlockSpec((kf, hb, HW, HW), lambda bi, fi: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if per_tap
+        else pl.BlockSpec((hb, HW, HW), lambda bi, fi: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
     kernel = functools.partial(
         _bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h,
         t_valid=t, causal_f=mod.causal, rel_pos=mod.rel_pos_bias,
+        per_tap=per_tap,
     )
     return pl.pallas_call(
         kernel,
@@ -1115,8 +1145,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
                          memory_space=pltpu.VMEM),                      # dv_bos
             pl.BlockSpec((h, h), lambda bi, fi: (0, 0),
                          memory_space=pltpu.VMEM),                      # dth
-            pl.BlockSpec((hb, HW, HW), lambda bi, fi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                      # dsbias
+            dsb_spec,                                                   # dsbias
             pl.BlockSpec((kf, h), lambda bi, fi: (0, 0),
                          memory_space=pltpu.VMEM),                      # dfbias
         ),
@@ -1126,7 +1155,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
-            jax.ShapeDtypeStruct((hb, HW, HW), jnp.float32),
+            jax.ShapeDtypeStruct(dsb_shape, jnp.float32),
             jax.ShapeDtypeStruct((kf, h), jnp.float32),
         ),
         scratch_shapes=[
@@ -1148,6 +1177,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
         _bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=HW, heads=h,
         t_valid=t, causal_f=mod.causal, num_f=F,
+        per_tap=geo.get("per_tap", False),
     )
     return pl.pallas_call(
         kernel,
@@ -1665,6 +1695,167 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
         q, k, v, k_bos, v_bos = _pad_d(
             [q, k, v, k_bos, v_bos], d_orig, geo["d"]
         )
+        out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        return out[:, :, :t, :d_orig]
+
+    _VJP_CACHE[cache_key] = op
+    return op
+
+
+# ---------------------------------------------------------------------------
+# SparseCausal2DNA (audio) on the whole-frame kernel family
+#
+# The audio grid is (timesteps, height): a query attends every token of the
+# K dilated past timesteps (full height — reference nuwa_pytorch.py:615-759).
+# G consecutive timesteps are grouped into one "pseudo-frame" of HW = G·H
+# tokens (G chosen so HW is lane-aligned), and the timestep-causal /
+# full-within-timestep structure becomes a *per-tap* static mask: tap j
+# (pseudo-frame fi-j) contributes keys whose timestep lag (j·G + qts - kts)
+# lands on the dilated kernel {0, dt, …, (K-1)·dt}. The same three kernels
+# (fwd, bwd-q, bwd-kv) run with per_tap=True; the axial rel-pos bias
+# scatters through a per-tap selector so parameter grads chain through the
+# differentiable bias construction exactly like 3DNA.
+# ---------------------------------------------------------------------------
+
+
+def _audio_geometry(mod, t: int, d_orig: int):
+    import math
+
+    H, K, dt = mod.height, mod.kernel_size, mod.dilation
+    m = H // math.gcd(H, 128)
+    HW = 128 * m
+    G = HW // H
+    kf = -(-((K - 1) * dt) // G) + 1
+    T = -(-t // H)  # timesteps
+    F = -(-T // G)  # pseudo-frames
+    d = ((d_orig + 127) // 128) * 128
+    return dict(
+        HW=HW, G=G, H=H, kf=kf, df=1, d=d, LB=kf - 1, RB=0, F=F,
+        per_tap=True,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _audio_masks_np(H, G, K, dt, kf):
+    """Per-tap (kf, HW, HW) allowed mask + (kf, HW, HW, K*H) bias selector.
+
+    Selector tap index = b*H + key-col with b the kernel's time index
+    (b = K-1 is the own timestep), matching the flattened
+    AxialPositionalEmbedding((K, H)) table of the XLA gather path."""
+    HW = G * H
+    mask = np.zeros((kf, HW, HW), dtype=bool)
+    sel = np.zeros((kf, HW, HW, K * H), dtype=np.float32)
+    for j in range(kf):
+        for qts in range(G):
+            for kts in range(G):
+                delta = j * G + qts - kts  # timesteps back
+                if delta < 0 or delta % dt or delta // dt >= K:
+                    continue
+                b = K - 1 - delta // dt
+                for kc in range(H):
+                    q0 = qts * H
+                    k0 = kts * H
+                    mask[j, q0 : q0 + H, k0 + kc] = True
+                    sel[j, q0 : q0 + H, k0 + kc, b * H + kc] = 1.0
+    return mask, sel
+
+
+def _audio_static_mask(mod, geo):
+    mask_np, _ = _audio_masks_np(
+        geo["H"], geo["G"], mod.kernel_size, mod.dilation, geo["kf"]
+    )
+    return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+
+
+def _audio_bias_tensors(mod, p, heads, geo):
+    """Differentiable (sbias, fbias, th_w) for the audio layout."""
+    kf, HW = geo["kf"], geo["HW"]
+    if mod.rel_pos_bias:
+        _, sel_np = _audio_masks_np(
+            geo["H"], geo["G"], mod.kernel_size, mod.dilation, kf
+        )
+        table = mod.bias_module(p["rel_pos_bias"])  # (K*H, heads)
+        sbias = jnp.einsum(
+            "jqkt,th->jhqk", jnp.asarray(sel_np, jnp.float32), table
+        )
+    else:
+        sbias = jnp.zeros((kf, 1, HW, HW), jnp.float32)
+    fbias = jnp.zeros((heads, kf), jnp.float32)
+    th_w = p["talking_heads"].astype(jnp.float32)
+    return sbias, fbias, th_w
+
+
+def _audio_core_op(mod, t: int):
+    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        g = _audio_geometry(mod, t, q.shape[-1])
+        maskf = _audio_static_mask(mod, g)
+        kpad, vpad = _pad_frames(g, k, v)
+        return _fwd_call(
+            mod, g, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        g = _audio_geometry(mod, t, q.shape[-1])
+        maskf = _audio_static_mask(mod, g)
+        kpad, vpad = _pad_frames(g, k, v)
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dsb, dfb = _bwd_q_call(
+            mod, g, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
+            th_w, kpad, vpad,
+        )
+        dk, dv = _bwd_kv_call(
+            mod, g, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dsb.astype(sbias.dtype),
+            jnp.transpose(dfb).astype(fbias.dtype),
+            dth.astype(th_w.dtype),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def sparse_2dna_pallas_vjp(mod, t: int):
+    """Differentiable audio-2DNA op ``f(p_sub, q, k, v, k_bos, v_bos)``.
+
+    q: (b, h, t, d) pre-scaled queries; k/v may carry timestep-alignment
+    padding (sliced/re-padded to whole pseudo-frames here). Forward and both
+    backwards run the whole-frame Pallas kernels with per-tap masks."""
+    cache_key = ("audio", mod, t)
+    if cache_key in _VJP_CACHE:
+        return _VJP_CACHE[cache_key]
+
+    core = _audio_core_op(mod, t)
+
+    def op(p_sub, q, k, v, k_bos, v_bos):
+        d_orig = q.shape[-1]
+        geo = _audio_geometry(mod, t, d_orig)
+        total = geo["F"] * geo["HW"]
+        sbias, fbias, th_w = _audio_bias_tensors(mod, p_sub, mod.heads, geo)
+
+        def tok_pad(a):
+            n = a.shape[2]
+            if n < total:
+                return jnp.pad(a, ((0, 0), (0, 0), (0, total - n), (0, 0)))
+            return a[:, :, :total]
+
+        q, k, v = tok_pad(q), tok_pad(k), tok_pad(v)
+        q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
         out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
         return out[:, :, :t, :d_orig]
 

@@ -64,6 +64,8 @@ class NUWAVideoAudio(Module):
     sparse_2dna_kernel_size: int = 7
     sparse_2dna_dilation: int | Tuple[int, ...] = 1
     sparse_2dna_rel_pos_bias: bool = True
+    sparse_2dna_use_pallas: bool = False
+    sparse_2dna_backend: str = "auto"
     audio_loss_weight: float = 1.0
     cross_modality_attn_every: int = 3
     compute_dtype: Optional[str] = None
@@ -130,6 +132,8 @@ class NUWAVideoAudio(Module):
             sparse_2dna_kernel_size=self.sparse_2dna_kernel_size,
             sparse_2dna_dilation=self._dils(self.sparse_2dna_dilation),
             sparse_2dna_rel_pos_bias=self.sparse_2dna_rel_pos_bias,
+            sparse_2dna_use_pallas=self.sparse_2dna_use_pallas,
+            sparse_2dna_backend=self.sparse_2dna_backend,
         )
 
     @property

@@ -666,6 +666,12 @@ class SparseCausal2DNA(Module):
     kernel_size: int = 5
     dilation: int = 1
     rel_pos_bias: bool = False
+    use_pallas: bool = False
+    backend: str = "auto"  # 'auto' | 'gather'; auto = Pallas on TPU
+
+    @property
+    def causal(self):
+        return True  # causal by construction (the kernel wrappers read this)
 
     @property
     def inner_dim(self):
@@ -716,6 +722,22 @@ class SparseCausal2DNA(Module):
         q = q[:, :, 1 : t + 1]
         k_bos, k = k[:, :, :1], k[:, :, 1:]
         v_bos, v = v[:, :, :1], v[:, :, 1:]
+
+        # fused Pallas path (timestep pseudo-frames, per-tap masks); same
+        # auto gating as Sparse3DNA — dropout keys fall back to the gather
+        key_ok = key is None or self.dropout == 0.0
+        want_pallas = self.use_pallas or (
+            self.backend == "auto" and jax.default_backend() == "tpu"
+        )
+        if want_pallas and key_ok:
+            from .kernels.nda_pallas import sparse_2dna_pallas_vjp
+
+            p_sub = {"talking_heads": p["talking_heads"]}
+            if self.rel_pos_bias:
+                p_sub["rel_pos_bias"] = p["rel_pos_bias"]
+            out = sparse_2dna_pallas_vjp(self, t)(p_sub, q, k, v, k_bos, v_bos)
+            out = jnp.concatenate([bos_v_out, out], axis=2)
+            return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
 
         timesteps = (t + pad) // self.height
         idx_np, valid_np = build_nda_indices(

@@ -237,6 +237,82 @@ def test_pallas_sixteen_heads_dot_mix():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.parametrize(
+    "H,K,dil",
+    [(1, 3, 1), (3, 3, 1), (4, 5, 2)],
+    ids=["h1", "h3-lane384", "h4-dilated"],
+)
+def test_pallas_audio_2dna_forward(H, K, dil):
+    """SparseCausal2DNA on the per-tap whole-frame kernel (timesteps grouped
+    into lane-aligned pseudo-frames) vs the XLA gather path."""
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    mod = SparseCausal2DNA(
+        dim=16, height=H, heads=2, dim_head=8, kernel_size=K, dilation=dil,
+        rel_pos_bias=True,
+    )
+    p = mod.init(KEY)
+    t = 7 * H + (1 if H > 1 else 0)  # ragged tail when H > 1
+    x = jax.random.normal(KEY, (2, 1 + t, 16))
+    ref = np.asarray(mod(p, x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod.replace(use_pallas=True)(p, x))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_audio_2dna_multiframe_lookback():
+    """Lookback spanning multiple pseudo-frames (t > G timesteps) plus bos."""
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    mod = SparseCausal2DNA(
+        dim=16, height=1, heads=2, dim_head=8, kernel_size=5, dilation=3,
+    )
+    p = mod.init(KEY)
+    t = 300  # > 2 pseudo-frames of 128 timesteps
+    x = jax.random.normal(KEY, (1, 1 + t, 16))
+    ref = np.asarray(mod(p, x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod.replace(use_pallas=True)(p, x))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_audio_2dna_backward_exact_with_fp32_cache():
+    """Audio flash backward (dq/dk/dv/bos/axial-bias/talking-heads) is exact
+    vs the gather oracle when the score cache is fp32."""
+    import nuwa_tpu.kernels.nda_pallas as K
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        # heads (4) != pseudo-frame tap count (2): pins the per-tap dsbias
+        # head-dim plumbing (hb must come from sbias.shape[1], not [0])
+        mod = SparseCausal2DNA(
+            dim=16, height=3, heads=4, dim_head=8, kernel_size=3, dilation=2,
+            rel_pos_bias=True,
+        )
+        mod_pl = mod.replace(use_pallas=True)
+        p = mod.init(KEY)
+        t = 9 * 3 - 2
+        x = jax.random.normal(KEY, (2, 1 + t, 16))
+        w = jax.random.normal(jax.random.PRNGKey(8), (2, 1 + t, 16))
+
+        def loss(m, p, x):
+            return jnp.sum(m(p, x) * w)
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            )
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
 def test_pallas_gradients_match_xla_path():
     """jax.grad through the pallas op (XLA-remat backward) == gather path."""
     mod = Sparse3DNA(
