@@ -25,8 +25,9 @@ Two kernel families share the machinery: whole-frame (HW ≤ 256 — the score
 tile is one frame vs one frame) and row-blocked (HW > 256, causal — R-row
 query blocks against a sliding key-row window, frames padded with
 (kh-1)·dh zero rows so the relative spatial mask is block-independent).
-Both have true flash backwards. Causal + centered modes and any dilation
-are supported for whole-frame; row-blocked is causal-only.
+Both have true flash backwards; both support causal and centered modes and
+any dilation (centered row-blocked pads rows top+bottom and frames
+front+back, so 256px-class sketch encoders get the fast path too).
 """
 from __future__ import annotations
 
@@ -167,9 +168,9 @@ def _kernel(
     q_ref,        # (1, h, HW, d) VMEM
     kbos_ref,     # (1, h, 1, d) VMEM
     vbos_ref,     # (1, h, 1, d) VMEM
-    mask_ref,     # (HW, HW) VMEM (float32: 0 allowed / -inf disallowed)
-    sbias_ref,    # (hb, HW, HW) VMEM spatial bias (hb = heads or 1)
-    fbias_ref,    # (h, Kf) SMEM per-tap temporal bias
+    cbias_ref,    # (Kf, hb, HW, HW) VMEM — combined per-tap additive bias:
+                  # -inf spatial mask + axial spatial bias + per-tap temporal
+                  # bias, precombined outside (one add per tap-pass)
     th_ref,       # (h, h) VMEM talking-heads weights
     k_hbm,        # (b, h, Tpad, d) ANY
     v_hbm,        # (b, h, Tpad, d) ANY
@@ -185,15 +186,11 @@ def _kernel(
     dim_head: int,
     t_valid: int,
     causal_f: bool,
-    per_tap: bool = False,  # mask/sbias carry a leading (Kf,) tap dim
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
 
     q = q_ref[0].astype(jnp.float32)  # (h, HW, d) — pre-scaled by caller
-
-    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
-    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)  # (1, HW)
 
@@ -230,11 +227,7 @@ def _kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (h, HW, HW)
-        s = s + mask_at(j)[None]
-        s = s + sbias_at(j)
-        s = jnp.stack(
-            [s[hh] + fbias_ref[hh, j] for hh in range(heads)], axis=0
-        )
+        s = s + cbias_ref[j]
         # validity: tap frame exists and kv token < t_valid
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)  # (1, HW)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
@@ -284,9 +277,10 @@ def _kernel(
 # ---------------------------------------------------------------------------
 
 
-def _rb_mask_and_selector(fw, kh, kw, dh, dw, R, W, prow):
+def _rb_mask_and_selector(fw, kh, kw, dh, dw, R, W, prow, causal=True):
     """Static relative (R*fw, W*fw) mask + (.., kh*kw) tap selector for the
-    causal row-blocked layout (query row qr sits at window row prow + qr)."""
+    row-blocked layout (query row qr sits at window row prow + qr; causal
+    reaches up/left only, centered reaches both ways)."""
     Rfw, Wfw = R * fw, W * fw
     mask = np.zeros((Rfw, Wfw), dtype=bool)
     sel = np.zeros((Rfw, Wfw, kh * kw), dtype=np.float32)
@@ -294,10 +288,14 @@ def _rb_mask_and_selector(fw, kh, kw, dh, dw, R, W, prow):
         for qx in range(fw):
             qi = qr * fw + qx
             for b in range(kh):
-                dy = (b - (kh - 1)) * dh  # causal: dy <= 0
+                dy = (b - (kh - 1)) * dh if causal else (b - (kh - 1) // 2) * dh
                 wr = prow + qr + dy
                 for c in range(kw):
-                    kx = qx + (c - (kw - 1)) * dw
+                    kx = (
+                        qx + (c - (kw - 1)) * dw
+                        if causal
+                        else qx + (c - (kw - 1) // 2) * dw
+                    )
                     if 0 <= kx < fw:
                         ki = wr * fw + kx
                         mask[qi, ki] = True
@@ -331,6 +329,9 @@ def _rb_kernel(
     Wfw: int,
     heads: int,
     t_valid: int,
+    causal_f: bool = True,
+    fh: int = 0,
+    num_f: int = 0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -341,6 +342,9 @@ def _rb_kernel(
     kbos = kbos_ref[0].astype(f32)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Wfw), 1)  # window token idx
 
+    def tap_frame(j):
+        return fi - j * df if causal_f else fi + (j - (Kf - 1) // 2) * df
+
     def window_start(g):
         # window begins at padded row rb*R of tapped frame g
         return (g + LB) * HWp + rb * R * fw
@@ -348,7 +352,7 @@ def _rb_kernel(
     # prefetch all taps' K/V windows once (K reused by both passes)
     cps = []
     for j in range(Kf):
-        g = fi - j * df
+        g = tap_frame(j)
         cpk = pltpu.make_async_copy(
             k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf.at[j],
             sem.at[j],
@@ -376,19 +380,24 @@ def _rb_kernel(
         return vbuf[j].astype(f32)
 
     def tap_scores(j, kmat):
-        g = fi - j * df
+        g = tap_frame(j)
         s = jax.lax.dot_general(
             q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )  # (h, Rfw, Wfw)
         s = s + mask_ref[...][None]
         s = s + sbias_ref[...]
         s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
-        # runtime validity: frame exists, key row is real (not top padding),
+        # runtime validity: frame exists, key row is real (not padding),
         # key token is < t_valid
         krow = rb * R + kidx // fw - prow         # global row in the frame
         tok = g * HW + krow * fw + kidx % fw      # global token index
         ok = jnp.logical_and(g >= 0, krow >= 0)
         ok = jnp.logical_and(ok, tok < t_valid)
+        if not causal_f:
+            # centered mode reaches forward: bottom-padding rows and
+            # trailing phantom frames would alias into later tokens
+            ok = jnp.logical_and(ok, krow < fh)
+            ok = jnp.logical_and(ok, g < num_f)
         s = jnp.where(ok[None, :, :], s, -1e30)
         return s.astype(_CACHE_DTYPE).astype(f32)
 
@@ -422,12 +431,15 @@ def _rb_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _rb_bwd_mask_and_selector(fw, kh, kw, dh, dw, R, NB):
+def _rb_bwd_mask_and_selector(fw, kh, kw, dh, dw, R, NB, nb_neg=0,
+                              causal=True):
     """Static key-block-vs-query-block masks for the row-blocked backward.
 
     For key block rows [rk0, rk0+R) the contributing query blocks start at
-    rk0 + rbq*R for rbq in [0, NB); relative row offset dy = kl - rbq*R - ql
-    is block-index independent, so one (NB, R*fw, R*fw) mask covers all."""
+    rk0 + (rbq - nb_neg)*R for rbq in [0, NB); relative row offset
+    dy = kl - (rbq - nb_neg)*R - ql is block-index independent, so one
+    (NB, R*fw, R*fw) mask covers all. Centered mode reaches both ways
+    (nb_neg > 0)."""
     Rfw = R * fw
     mask = np.zeros((NB, Rfw, Rfw), dtype=bool)
     sel = np.zeros((NB, Rfw, Rfw, kh * kw), dtype=np.float32)
@@ -436,12 +448,16 @@ def _rb_bwd_mask_and_selector(fw, kh, kw, dh, dw, R, NB):
             for qx in range(fw):
                 qi = ql * fw + qx
                 for b in range(kh):
-                    dy = (b - (kh - 1)) * dh  # causal: dy <= 0
-                    kl = ql + rbq * R + dy
+                    dy = (b - (kh - 1)) * dh if causal else (b - (kh - 1) // 2) * dh
+                    kl = ql + (rbq - nb_neg) * R + dy
                     if kl < 0 or kl >= R:
                         continue
                     for c in range(kw):
-                        kx = qx + (c - (kw - 1)) * dw
+                        kx = (
+                            qx + (c - (kw - 1)) * dw
+                            if causal
+                            else qx + (c - (kw - 1) // 2) * dw
+                        )
                         if 0 <= kx < fw:
                             ki = kl * fw + kx
                             mask[rbq, qi, ki] = True
@@ -477,6 +493,9 @@ def _rb_bwd_q_kernel(
     heads: int,
     t_valid: int,
     rel_pos: bool,
+    causal_f: bool = True,
+    fh: int = 0,
+    num_f: int = 0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -490,12 +509,15 @@ def _rb_bwd_q_kernel(
     vbos = vbos_ref[0].astype(f32)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Wfw), 1)
 
+    def tap_frame(j):
+        return fi - j * df if causal_f else fi + (j - (Kf - 1) // 2) * df
+
     def window_start(g):
         return (g + LB) * HWp + rb * R * fw
 
     cps = []
     for j in range(Kf):
-        g = fi - j * df
+        g = tap_frame(j)
         cpk = pltpu.make_async_copy(
             k_hbm.at[bi, :, pl.ds(window_start(g), Wfw), :], kbuf.at[j],
             sem.at[j],
@@ -517,7 +539,7 @@ def _rb_bwd_q_kernel(
         return kbuf[j].astype(f32), vbuf[j].astype(f32)
 
     def tap_p_dp(j, kmat, vmat):
-        g = fi - j * df
+        g = tap_frame(j)
         s = jax.lax.dot_general(
             q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )
@@ -528,6 +550,9 @@ def _rb_bwd_q_kernel(
         tok = g * HW + krow * fw + kidx % fw
         ok = jnp.logical_and(g >= 0, krow >= 0)
         ok = jnp.logical_and(ok, tok < t_valid)
+        if not causal_f:
+            ok = jnp.logical_and(ok, krow < fh)
+            ok = jnp.logical_and(ok, g < num_f)
         s = jnp.where(ok[None, :, :], s, -1e30)
         s = s.astype(_CACHE_DTYPE).astype(f32)  # match the fwd's rounding
         pj = jnp.exp(s - lse[..., None])
@@ -615,6 +640,8 @@ def _rb_bwd_kv_kernel(
     heads: int,
     t_valid: int,
     num_f: int,
+    causal_f: bool = True,
+    nb_neg: int = 0,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
@@ -630,10 +657,12 @@ def _rb_bwd_kv_kernel(
     dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
 
     for j in range(Kf):
-        fi = gk + j * df  # causal: the query frame whose tap j reads gk
+        # the query frame whose tap j reads key frame gk
+        fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
         for rbq in range(NB):
-            qb = rbk + rbq
+            qb = rbk + rbq - nb_neg
             cond = jnp.logical_and(fi < num_f, qb < RB)
+            cond = jnp.logical_and(cond, jnp.logical_and(fi >= 0, qb >= 0))
 
             @pl.when(cond)
             def _(j=j, rbq=rbq, fi=fi, qb=qb):
@@ -704,10 +733,8 @@ def _bwd_q_kernel(
     lse_ref,      # (1, h, HW) VMEM
     kbos_ref,     # (1, h, 1, d)
     vbos_ref,     # (1, h, 1, d)
-    mask_ref,     # (HW, HW)
-    sbias_ref,    # (hb, HW, HW)
-    fbias_ref,    # (h, Kf) SMEM
-    th_ref,       # (h, h) SMEM
+    cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
+    th_ref,       # (h, h) talking-heads weights
     k_hbm,        # (b, h, Tpad+pad, d) ANY (LB/RB padded)
     v_hbm,        # ANY
     dq_ref,       # (1, h, HW, d)
@@ -715,9 +742,8 @@ def _bwd_q_kernel(
     dkbos_ref,    # (1, h, 1, d) accumulated over frames
     dvbos_ref,    # (1, h, 1, d)
     dth_ref,      # (h, h) accumulated over all cells
-    dsb_ref,      # (hb, HW, HW) accumulated
-    dfb_ref,      # (Kf, h) accumulated
-    kbuf, vbuf, sem,
+    dcb_ref,      # (Kf, hb, HW, HW) accumulated combined-bias cotangent
+    kbuf, vbuf, pjbuf, dpbuf, sem,
     *,
     Kf: int,
     df: int,
@@ -727,7 +753,6 @@ def _bwd_q_kernel(
     t_valid: int,
     causal_f: bool,
     rel_pos: bool,
-    per_tap: bool = False,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -739,9 +764,6 @@ def _bwd_q_kernel(
     kbos = kbos_ref[0].astype(f32)  # (h, 1, d)
     vbos = vbos_ref[0].astype(f32)
 
-    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
-    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
-
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
 
     def tap_src_frame(j):
@@ -749,8 +771,8 @@ def _bwd_q_kernel(
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
 
-    # prefetch all taps' K/V once (reused by both passes); the DMA engine
-    # overlaps the copies with the first matmuls
+    # prefetch all taps' K/V once; the DMA engine overlaps the copies with
+    # the first matmuls
     cps = []
     for j in range(Kf):
         g = tap_src_frame(j)
@@ -773,15 +795,26 @@ def _bwd_q_kernel(
             waited[j] = True
         return kbuf[j].astype(f32), vbuf[j].astype(f32)
 
-    def tap_p_dp(j, kmat, vmat):
-        """Recompute P_j = exp(S_j - lse) and the mixed cotangent dP_j."""
+    # ---- bos pieces -----------------------------------------------------
+    s_bos = jnp.sum(q * kbos, axis=-1)          # (h, HW)
+    p_bos = jnp.exp(s_bos - lse)
+    dA_bos = jnp.sum(go * vbos, axis=-1)        # (h, HW)
+    dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+    rho = p_bos * dp_bos
+    dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
+
+    # ---- pass 1: recompute P/dP per tap ONCE, cache in VMEM scratch ------
+    # rho needs every tap before dS can form; caching pj/dP (instead of a
+    # second full recompute) drops one QK matmul, one attend matmul, the
+    # exp and the second talking-heads mix per tap. dth needs only pass-1
+    # quantities (dA x pj), so it accumulates here too.
+    for j in range(Kf):
         g = tap_src_frame(j)
+        kmat, vmat = fetch(j)
         s = jax.lax.dot_general(
             q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )
-        s = s + mask_at(j)[None]
-        s = s + sbias_at(j)
-        s = jnp.stack([s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0)
+        s = s + cbias_ref[j]
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
         # round through the forward's cache dtype so P is consistent with lse
@@ -791,45 +824,24 @@ def _bwd_q_kernel(
             go, vmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )  # (h, HWq, HWk)
         dP = _mix3(th_ref, dA, heads, transpose=True)
-        return pj, dA, dP
-
-    # ---- bos pieces and rho accumulation ------------------------------
-    s_bos = jnp.sum(q * kbos, axis=-1)          # (h, HW)
-    p_bos = jnp.exp(s_bos - lse)
-    dA_bos = jnp.sum(go * vbos, axis=-1)        # (h, HW)
-    dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
-    rho = p_bos * dp_bos
-
-    for j in range(Kf):
-        kmat, vmat = fetch(j)
-        pj, _, dP = tap_p_dp(j, kmat, vmat)
         rho = rho + jnp.sum(pj * dP, axis=-1)
+        dth_acc = dth_acc + _pair_contract(dA, pj, heads)
+        pjbuf[j] = pj
+        dpbuf[j] = dP
     rho_ref[0] = rho
 
-    # ---- dq + parameter grads -----------------------------------------
+    # ---- pass 2: dq + bias grads from the cached tensors -----------------
     ds_bos = p_bos * (dp_bos - rho)             # (h, HW)
     dq_acc = ds_bos[..., None] * kbos           # (h, HW, d)
-    dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
-    dsb_acc = None
-    dsb_taps = []
-    dfb_rows = []
+    dcb_taps = []
     for j in range(Kf):
-        kmat, vmat = fetch(j)
-        pj, dA, dP = tap_p_dp(j, kmat, vmat)
-        dS = pj * (dP - rho[..., None])         # (h, HWq, HWk)
+        kmat, _ = fetch(j)
+        dS = pjbuf[j] * (dpbuf[j] - rho[..., None])  # (h, HWq, HWk)
         dq_acc = dq_acc + jax.lax.dot_general(
             dS, kmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
         )
         if rel_pos:
-            if per_tap:
-                dsb_taps.append(dS)
-            else:
-                dsb_acc = dS if dsb_acc is None else dsb_acc + dS
-            cols = [
-                jnp.sum(dS[hh]).reshape(1, 1) for hh in range(heads)
-            ]
-            dfb_rows.append(jnp.concatenate(cols, axis=1))  # (1, h)
-        dth_acc = dth_acc + _pair_contract(dA, pj, heads)
+            dcb_taps.append(dS)
 
     dq_ref[0] = dq_acc.astype(dq_ref.dtype)
 
@@ -838,17 +850,15 @@ def _bwd_q_kernel(
     @pl.when(is_first)
     def _():
         dth_ref[...] = jnp.zeros(dth_ref.shape, dth_ref.dtype)
-        dsb_ref[...] = jnp.zeros(dsb_ref.shape, dsb_ref.dtype)
-        dfb_ref[...] = jnp.zeros(dfb_ref.shape, dfb_ref.dtype)
+        dcb_ref[...] = jnp.zeros(dcb_ref.shape, dcb_ref.dtype)
 
     dth_ref[...] += dth_acc
     if rel_pos:
-        if per_tap:
-            for j in range(Kf):
-                dsb_ref[j] += dsb_taps[j]
-        else:
-            dsb_ref[...] += dsb_acc
-        dfb_ref[...] += jnp.concatenate(dfb_rows, axis=0)  # (Kf, h)
+        for j in range(Kf):
+            if dcb_ref.shape[1] == heads:
+                dcb_ref[j] += dcb_taps[j]
+            else:  # hb == 1: head-summed bias layout
+                dcb_ref[j] += jnp.sum(dcb_taps[j], axis=0, keepdims=True)
 
     @pl.when(fi == 0)
     def _():
@@ -863,9 +873,7 @@ def _bwd_q_kernel(
 def _bwd_kv_kernel(
     k_ref,        # (1, h, HW, d) VMEM — key frame resident (unpadded layout)
     v_ref,        # (1, h, HW, d)
-    mask_ref,
-    sbias_ref,
-    fbias_ref,    # (h, Kf) SMEM
+    cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
     th_ref,       # (h, h) SMEM
     q_hbm,        # (b, h, Tpad, d) ANY
     g_hbm,        # (b, h, Tpad, d) ANY — output cotangent
@@ -882,14 +890,10 @@ def _bwd_kv_kernel(
     t_valid: int,
     causal_f: bool,
     num_f: int,
-    per_tap: bool = False,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
     f32 = jnp.float32
-
-    mask_at = (lambda j: mask_ref[j]) if per_tap else (lambda j: mask_ref[...])
-    sbias_at = (lambda j: sbias_ref[j]) if per_tap else (lambda j: sbias_ref[...])
 
     kmat = k_ref[0].astype(f32)
     vmat = v_ref[0].astype(f32)
@@ -934,11 +938,7 @@ def _bwd_kv_kernel(
                 qm, kmat, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
-            s = s + mask_at(j)[None]
-            s = s + sbias_at(j)
-            s = jnp.stack(
-                [s[hh] + fbias_ref[hh, j] for hh in range(heads)], 0
-            )
+            s = s + cbias_ref[j]
             s = jnp.where(tok_ok[None, :, :], s, -1e30)
             s = s.astype(_CACHE_DTYPE).astype(f32)
             pj = jnp.exp(s - lse[..., None])
@@ -1015,11 +1015,18 @@ def _axial_tables(mod, p, heads):
     return fbias, hw_tab.reshape(kh * kw, heads)
 
 
-def _bias_tensors(mod, p, heads):
-    """Differentiable (sbias, fbias, th_w) from params + the static mask."""
+def _combined_bias(mod, p, heads):
+    """Differentiable combined (Kf, hb, HW, HW) additive bias + th_w.
+
+    Precombines the static -inf spatial mask, the axial spatial bias and the
+    per-tap temporal bias into ONE tensor so each kernel tap-pass does a
+    single add (was: mask add + sbias add + per-head fbias stack). Axial
+    parameter grads chain through this construction from the kernel's dcb
+    cotangent."""
     fh, fw = mod.video_shape[1], mod.video_shape[2]
     kf, kh, kw = mod.kernel
     df, dh, dw = mod.dilations
+    HW = fh * fw
     mask_np, selector_np = _spatial_mask_and_selector(
         fh, fw, kh, kw, dh, dw, mod.causal
     )
@@ -1027,28 +1034,32 @@ def _bias_tensors(mod, p, heads):
     h = heads
 
     if mod.rel_pos_bias:
-        fbias, hw_tab = _axial_tables(mod, p, h)
+        fbias, hw_tab = _axial_tables(mod, p, h)  # (h, kf), (kh*kw, h)
         # scatter per-tap spatial bias into the (HW, HW) layout via a static
         # one-hot selector: sbias[h,q,k] = sum_t selector[q,k,t] * hw_tab[t,h]
         sbias = jnp.einsum(
             "qkt,th->hqk", jnp.asarray(selector_np, jnp.float32), hw_tab
         )
+        cbias = (
+            maskf[None, None]
+            + sbias[None]
+            + jnp.transpose(fbias)[:, :, None, None]  # (kf, h, 1, 1)
+        )
     else:
-        fbias = jnp.zeros((h, kf), jnp.float32)
-        sbias = jnp.zeros((1, fh * fw, fh * fw), jnp.float32)
+        cbias = jnp.broadcast_to(maskf[None, None], (kf, 1, HW, HW))
 
     th_w = p["talking_heads"].astype(jnp.float32)
-    return maskf, sbias, fbias, th_w
+    return cbias, th_w
 
 
-def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad):
+def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
     kernel = functools.partial(
         _kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
-        t_valid=t, causal_f=mod.causal, per_tap=geo.get("per_tap", False),
+        t_valid=t, causal_f=mod.causal,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1060,9 +1071,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpa
                          memory_space=pltpu.VMEM),                      # k_bos
             pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),                      # v_bos
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # talking heads
             pl.BlockSpec(memory_space=pl.ANY),                       # k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                       # v (HBM)
@@ -1088,30 +1097,20 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpa
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    )(q, k_bos, v_bos, cbias, th_w, kpad, vpad)
     return out, lse
 
 
-def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
-                th_w, kpad, vpad):
+def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
+                kpad, vpad):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
-    per_tap = geo.get("per_tap", False)
-    hb = sbias.shape[1] if per_tap else sbias.shape[0]
-    dsb_shape = (kf, hb, HW, HW) if per_tap else (hb, HW, HW)
-    dsb_spec = (
-        pl.BlockSpec((kf, hb, HW, HW), lambda bi, fi: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-        if per_tap
-        else pl.BlockSpec((hb, HW, HW), lambda bi, fi: (0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    )
+    hb = cbias.shape[1]
     kernel = functools.partial(
         _bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h,
         t_valid=t, causal_f=mod.causal, rel_pos=mod.rel_pos_bias,
-        per_tap=per_tap,
     )
     return pl.pallas_call(
         kernel,
@@ -1127,9 +1126,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
                          memory_space=pltpu.VMEM),                      # k_bos
             pl.BlockSpec((1, h, 1, d), lambda bi, fi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),                      # v_bos
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
@@ -1145,9 +1142,8 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
                          memory_space=pltpu.VMEM),                      # dv_bos
             pl.BlockSpec((h, h), lambda bi, fi: (0, 0),
                          memory_space=pltpu.VMEM),                      # dth
-            dsb_spec,                                                   # dsbias
-            pl.BlockSpec((kf, h), lambda bi, fi: (0, 0),
-                         memory_space=pltpu.VMEM),                      # dfbias
+            pl.BlockSpec((kf, hb, HW, HW), lambda bi, fi: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                      # dcbias
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
@@ -1155,21 +1151,22 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
-            jax.ShapeDtypeStruct(dsb_shape, jnp.float32),
-            jax.ShapeDtypeStruct((kf, h), jnp.float32),
+            jax.ShapeDtypeStruct((kf, hb, HW, HW), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((kf, h, HW, d), q.dtype),        # kbuf, one slot per tap
             pltpu.VMEM((kf, h, HW, d), q.dtype),        # vbuf
+            pltpu.VMEM((kf, h, HW, HW), jnp.float32),   # pjbuf (pass-1 cache)
+            pltpu.VMEM((kf, h, HW, HW), jnp.float32),   # dpbuf
             pltpu.SemaphoreType.DMA((2 * kf,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
-    )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    )(q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad)
 
 
-def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w):
+def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
@@ -1177,7 +1174,6 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
         _bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=HW, heads=h,
         t_valid=t, causal_f=mod.causal, num_f=F,
-        per_tap=geo.get("per_tap", False),
     )
     return pl.pallas_call(
         kernel,
@@ -1187,9 +1183,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
                          memory_space=pltpu.VMEM),                      # k
             pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
                          memory_space=pltpu.VMEM),                      # v
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # mask
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pl.ANY),                       # q
             pl.BlockSpec(memory_space=pl.ANY),                       # gout
@@ -1218,7 +1212,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(k, v, maskf, sbias, fbias, th_w, q, gout, lse, rho)
+    )(k, v, cbias, th_w, q, gout, lse, rho)
 
 
 def _pad_frames(geo, k, v):
@@ -1232,7 +1226,7 @@ def rb_row_block(mod):
     """Row-block size for the row-blocked kernel: the largest divisor of the
     fmap height whose query block stays <= 256 tokens. None = unsupported."""
     fh, fw = mod.video_shape[1], mod.video_shape[2]
-    if not mod.causal or fw > 256:
+    if fw > 256:
         return None
     for R in range(max(1, 256 // fw), 0, -1):
         if fh % R == 0:
@@ -1245,25 +1239,35 @@ def _rb_geometry(mod, num_frames, d_orig):
     R = rb_row_block(mod)
     assert R is not None
     kh, dh_ = geo["kh"], geo["dh"]
-    prow = (kh - 1) * dh_
+    reach = (kh - 1) * dh_
+    # causal: all padding above; centered: split (kh odd => reach even)
+    prow = reach if mod.causal else reach // 2
+    brow = 0 if mod.causal else reach - reach // 2
     geo.update(
-        R=R, prow=prow, W=R + prow, RB=geo["fh"] // R,
-        HWp=(geo["fh"] + prow) * geo["fw"],
-        Rfw=R * geo["fw"], Wfw=(R + prow) * geo["fw"],
+        R=R, prow=prow, brow=brow, W=R + reach, RBf=geo["RB"],
+        RB=geo["fh"] // R,
+        HWp=(geo["fh"] + reach) * geo["fw"],
+        Rfw=R * geo["fw"], Wfw=(R + reach) * geo["fw"],
     )
     return geo
 
 
 def _rb_pad_frames(geo, k, v):
-    """LB front frames + prow zero rows at the top of every frame."""
+    """LB front (+ RBf trailing, centered) frames; prow/brow zero rows at
+    the top/bottom of every frame."""
     b, h, T, d = k.shape
-    F, fh, fw, prow = geo["F"], geo["fh"], geo["fw"], geo["prow"]
+    F, fh, fw = geo["F"], geo["fh"], geo["fw"]
+    prow, brow = geo["prow"], geo.get("brow", 0)
+    RBf = geo.get("RBf", 0)
 
     def pad_one(x):
         x = x.reshape(b, h, F, fh, fw, d)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (prow, 0), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (prow, brow), (0, 0), (0, 0)))
         x = x.reshape(b, h, F * geo["HWp"], d)
-        return jnp.pad(x, ((0, 0), (0, 0), (geo["LB"] * geo["HWp"], 0), (0, 0)))
+        return jnp.pad(
+            x,
+            ((0, 0), (0, 0), (geo["LB"] * geo["HWp"], RBf * geo["HWp"]), (0, 0)),
+        )
 
     return pad_one(k), pad_one(v)
 
@@ -1273,7 +1277,8 @@ def _rb_bias_tensors(mod, p, heads, geo):
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     mask_np, selector_np = _rb_mask_and_selector(
-        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"],
+        mod.causal,
     )
     maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
     h = heads
@@ -1298,7 +1303,7 @@ def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
         _rb_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
         R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
-        heads=h, t_valid=t,
+        heads=h, t_valid=t, causal_f=mod.causal, fh=geo["fh"], num_f=F,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1357,14 +1362,14 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
     if geo["HW"] <= 256:
         q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
         kpad, vpad = _pad_frames(geo, k, v)
-        maskf, sbias, fbias, th_w = _bias_tensors(mod, p, h)
+        cbias, th_w = _combined_bias(mod, p, h)
         out, _ = _fwd_call(
-            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+            mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad
         )
         return out[:, :, :t, :d_orig]
 
     assert rb_row_block(mod) is not None, (
-        "row-blocked pallas 3DNA needs causal mode and fmap width <= 256"
+        "row-blocked pallas 3DNA needs fmap width <= 256"
     )
     geo = _rb_geometry(mod, num_frames, d_orig)
     q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
@@ -1391,7 +1396,8 @@ def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
         _rb_bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
         R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
-        heads=h, t_valid=t, rel_pos=mod.rel_pos_bias,
+        heads=h, t_valid=t, rel_pos=mod.rel_pos_bias, causal_f=mod.causal,
+        fh=geo["fh"], num_f=F,
     )
     qb_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb, 0)
     l_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb)
@@ -1456,6 +1462,7 @@ def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
         _rb_bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=geo["HW"], R=geo["R"], fw=geo["fw"],
         Rfw=Rfw, RB=RB, NB=NB, heads=h, t_valid=t, num_f=F,
+        causal_f=mod.causal, nb_neg=geo.get("nb_neg", 0),
     )
     kb_ix = lambda bi, gk, rbk: (bi, 0, gk * RB + rbk, 0)
     return pl.pallas_call(
@@ -1501,16 +1508,18 @@ def _rb_bwd_bias_tensors(mod, geo):
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     R = geo["R"]
-    NB = (R - 1 + geo["prow"]) // R + 1
+    brow = geo.get("brow", 0)
+    nb_neg = (brow + R - 1) // R
+    NB = nb_neg + (R - 1 + geo["prow"]) // R + 1
     mask_np, sel_np = _rb_bwd_mask_and_selector(
-        geo["fw"], kh, kw, dh_, dw, R, NB
+        geo["fw"], kh, kw, dh_, dw, R, NB, nb_neg, mod.causal
     )
     maskb = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
-    return maskb, jnp.asarray(sel_np, jnp.float32), NB
+    return maskb, jnp.asarray(sel_np, jnp.float32), NB, nb_neg
 
 
 def _rb_core_op(mod, num_frames, t):
-    """custom_vjp core for the row-blocked (HW > 256, causal) kernels."""
+    """custom_vjp core for the row-blocked (HW > 256) kernels."""
 
     def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
         geo = _rb_geometry(mod, num_frames, q.shape[-1])
@@ -1538,8 +1547,9 @@ def _rb_core_op(mod, num_frames, t):
             mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
             th_w, kpad, vpad,
         )
-        maskb, sel_b, NB = _rb_bwd_bias_tensors(mod, geo)
+        maskb, sel_b, NB, nb_neg = _rb_bwd_bias_tensors(mod, geo)
         geo["NB"] = NB
+        geo["nb_neg"] = nb_neg
         if mod.rel_pos_bias:
             # per-block spatial bias in key-block coordinates, from the same
             # axial tables the fwd sbias uses (non-differentiable here: the
@@ -1573,7 +1583,8 @@ def _rb_static_mask(mod, geo):
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     mask_np, _ = _rb_mask_and_selector(
-        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"],
+        mod.causal,
     )
     return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
 
@@ -1586,7 +1597,8 @@ def _rb_hw_tab(mod, geo, sbias):
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     _, sel_np = _rb_mask_and_selector(
-        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"]
+        geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"],
+        mod.causal,
     )
     counts = np.maximum(sel_np.sum((0, 1)), 1.0)  # (kh*kw,)
     tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
@@ -1601,36 +1613,31 @@ _VJP_CACHE = {}
 
 
 def _core_op(mod, num_frames, t):
-    """custom_vjp core over tensors only (biases precomputed outside so
-    autodiff chains parameter grads through ``_bias_tensors``)."""
-    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+    """custom_vjp core over tensors only (the combined bias is precomputed
+    outside so autodiff chains parameter grads through ``_combined_bias``)."""
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
         g = _geometry(mod, num_frames, q.shape[-1])
-        maskf = _static_mask(mod)
         kpad, vpad = _pad_frames(g, k, v)
-        return _fwd_call(
-            mod, g, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
-        )
+        return _fwd_call(mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad)
 
     @jax.custom_vjp
-    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+    def core(q, k, v, k_bos, v_bos, cbias, th_w):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)[0]
 
-    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
-        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, lse)
 
     def core_bwd(res, gout):
-        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        q, k, v, k_bos, v_bos, cbias, th_w, lse = res
         g = _geometry(mod, num_frames, q.shape[-1])
-        maskf = _static_mask(mod)
         kpad, vpad = _pad_frames(g, k, v)
         gout = gout.astype(q.dtype)
-        dq, rho, dkbos, dvbos, dth, dsb, dfb = _bwd_q_call(
-            mod, g, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
-            th_w, kpad, vpad,
+        dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
+            mod, g, t, q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad,
         )
         dk, dv = _bwd_kv_call(
-            mod, g, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
+            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w
         )
         return (
             dq,
@@ -1638,21 +1645,12 @@ def _core_op(mod, num_frames, t):
             dv,
             dkbos.astype(k_bos.dtype),
             dvbos.astype(v_bos.dtype),
-            dsb.astype(sbias.dtype),
-            jnp.transpose(dfb).astype(fbias.dtype),  # (Kf,h) -> (h,Kf)
+            dcb.astype(cbias.dtype),
             dth.astype(th_w.dtype),
         )
 
     core.defvjp(core_fwd, core_bwd)
     return core
-
-
-def _static_mask(mod):
-    fh, fw = mod.video_shape[1], mod.video_shape[2]
-    kf, kh, kw = mod.kernel
-    df, dh, dw = mod.dilations
-    mask_np, _ = _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, mod.causal)
-    return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
 
 
 def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
@@ -1670,7 +1668,7 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
 
     HW = mod.video_shape[1] * mod.video_shape[2]
     if HW > 256:
-        # row-blocked kernels (causal): true flash backward as well
+        # row-blocked kernels (causal or centered): true flash backward too
         core = _rb_core_op(mod, num_frames, t)
 
         def op_rb(p_sub, q, k, v, k_bos, v_bos):
@@ -1691,11 +1689,11 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
     def op(p_sub, q, k, v, k_bos, v_bos):
         d_orig = q.shape[-1]
         geo = _geometry(mod, num_frames, d_orig)
-        _, sbias, fbias, th_w = _bias_tensors(mod, p_sub, mod.heads)
+        cbias, th_w = _combined_bias(mod, p_sub, mod.heads)
         q, k, v, k_bos, v_bos = _pad_d(
             [q, k, v, k_bos, v_bos], d_orig, geo["d"]
         )
-        out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        out = core(q, k, v, k_bos, v_bos, cbias, th_w)
         return out[:, :, :t, :d_orig]
 
     _VJP_CACHE[cache_key] = op
@@ -1712,7 +1710,7 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
 # full-within-timestep structure becomes a *per-tap* static mask: tap j
 # (pseudo-frame fi-j) contributes keys whose timestep lag (j·G + qts - kts)
 # lands on the dilated kernel {0, dt, …, (K-1)·dt}. The same three kernels
-# (fwd, bwd-q, bwd-kv) run with per_tap=True; the axial rel-pos bias
+# (fwd, bwd-q, bwd-kv) run with the per-tap combined bias; the axial bias
 # scatters through a per-tap selector so parameter grads chain through the
 # differentiable bias construction exactly like 3DNA.
 # ---------------------------------------------------------------------------
@@ -1731,7 +1729,6 @@ def _audio_geometry(mod, t: int, d_orig: int):
     d = ((d_orig + 127) // 128) * 128
     return dict(
         HW=HW, G=G, H=H, kf=kf, df=1, d=d, LB=kf - 1, RB=0, F=F,
-        per_tap=True,
     )
 
 
@@ -1760,60 +1757,49 @@ def _audio_masks_np(H, G, K, dt, kf):
     return mask, sel
 
 
-def _audio_static_mask(mod, geo):
-    mask_np, _ = _audio_masks_np(
-        geo["H"], geo["G"], mod.kernel_size, mod.dilation, geo["kf"]
-    )
-    return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
-
-
-def _audio_bias_tensors(mod, p, heads, geo):
-    """Differentiable (sbias, fbias, th_w) for the audio layout."""
+def _audio_combined_bias(mod, p, heads, geo):
+    """Differentiable combined (kf, hb, HW, HW) bias for the audio layout."""
     kf, HW = geo["kf"], geo["HW"]
+    mask_np, sel_np = _audio_masks_np(
+        geo["H"], geo["G"], mod.kernel_size, mod.dilation, kf
+    )
+    maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
     if mod.rel_pos_bias:
-        _, sel_np = _audio_masks_np(
-            geo["H"], geo["G"], mod.kernel_size, mod.dilation, kf
-        )
         table = mod.bias_module(p["rel_pos_bias"])  # (K*H, heads)
         sbias = jnp.einsum(
             "jqkt,th->jhqk", jnp.asarray(sel_np, jnp.float32), table
         )
+        cbias = maskf[:, None] + sbias
     else:
-        sbias = jnp.zeros((kf, 1, HW, HW), jnp.float32)
-    fbias = jnp.zeros((heads, kf), jnp.float32)
+        cbias = maskf[:, None]
     th_w = p["talking_heads"].astype(jnp.float32)
-    return sbias, fbias, th_w
+    return cbias, th_w
 
 
 def _audio_core_op(mod, t: int):
-    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
         g = _audio_geometry(mod, t, q.shape[-1])
-        maskf = _audio_static_mask(mod, g)
         kpad, vpad = _pad_frames(g, k, v)
-        return _fwd_call(
-            mod, g, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
-        )
+        return _fwd_call(mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad)
 
     @jax.custom_vjp
-    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+    def core(q, k, v, k_bos, v_bos, cbias, th_w):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)[0]
 
-    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
-        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, lse)
 
     def core_bwd(res, gout):
-        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        q, k, v, k_bos, v_bos, cbias, th_w, lse = res
         g = _audio_geometry(mod, t, q.shape[-1])
-        maskf = _audio_static_mask(mod, g)
         kpad, vpad = _pad_frames(g, k, v)
         gout = gout.astype(q.dtype)
-        dq, rho, dkbos, dvbos, dth, dsb, dfb = _bwd_q_call(
-            mod, g, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
-            th_w, kpad, vpad,
+        dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
+            mod, g, t, q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad,
         )
         dk, dv = _bwd_kv_call(
-            mod, g, t, q, gout, lse, rho, k, v, maskf, sbias, fbias, th_w
+            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w
         )
         return (
             dq,
@@ -1821,8 +1807,7 @@ def _audio_core_op(mod, t: int):
             dv,
             dkbos.astype(k_bos.dtype),
             dvbos.astype(v_bos.dtype),
-            dsb.astype(sbias.dtype),
-            jnp.transpose(dfb).astype(fbias.dtype),
+            dcb.astype(cbias.dtype),
             dth.astype(th_w.dtype),
         )
 
@@ -1846,7 +1831,7 @@ def sparse_2dna_pallas_vjp(mod, t: int):
         d_orig = q.shape[-1]
         geo = _audio_geometry(mod, t, d_orig)
         total = geo["F"] * geo["HW"]
-        sbias, fbias, th_w = _audio_bias_tensors(mod, p_sub, mod.heads, geo)
+        cbias, th_w = _audio_combined_bias(mod, p_sub, mod.heads, geo)
 
         def tok_pad(a):
             n = a.shape[2]
@@ -1856,7 +1841,7 @@ def sparse_2dna_pallas_vjp(mod, t: int):
 
         q, k, v = tok_pad(q), tok_pad(k), tok_pad(v)
         q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
-        out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+        out = core(q, k, v, k_bos, v_bos, cbias, th_w)
         return out[:, :, :t, :d_orig]
 
     _VJP_CACHE[cache_key] = op

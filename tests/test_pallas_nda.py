@@ -212,6 +212,52 @@ def test_pallas_row_blocked_backward_exact_with_fp32_cache():
         K._VJP_CACHE.clear()
 
 
+def test_pallas_row_blocked_centered():
+    """Centered (non-causal) mode on the row-blocked kernel — the 256px
+    sketch-encoder config class (fmap > 16, centered 3DNA). Forward parity
+    vs the gather path, with frame taps reaching both directions."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(3, 32, 9), kernel_size=3, dilation=(1, 2, 2),
+        heads=2, dim_head=8, causal=False, rel_pos_bias=True,
+    )
+    x = jax.random.normal(KEY, (1, 1 + 3 * 32 * 9, 16))
+    _compare(mod, x, atol=3e-2)
+
+
+def test_pallas_row_blocked_centered_grads_exact_fp32():
+    """Centered row-blocked flash backward is exact vs the gather oracle
+    with an fp32 score cache (ragged tail included)."""
+    import nuwa_tpu.kernels.nda_pallas as K
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = Sparse3DNA(
+            dim=16, video_shape=(2, 32, 9), kernel_size=3, dilation=1,
+            heads=2, dim_head=8, causal=False, rel_pos_bias=True,
+        )
+        mod_pl = mod.replace(use_pallas=True)
+        p = mod.init(KEY)
+        t = 2 * 32 * 9 - 5
+        x = jax.random.normal(KEY, (1, 1 + t, 16))
+        w = jax.random.normal(jax.random.PRNGKey(8), (1, 1 + t, 16))
+
+        def loss(m, p, x):
+            return jnp.sum(m(p, x) * w)
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            )
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
 def test_pallas_sixteen_heads_dot_mix():
     """heads >= 16 routes the talking-heads mix through one MXU dot instead
     of unrolled AXPYs — forward + backward parity."""

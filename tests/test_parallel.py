@@ -163,6 +163,26 @@ def test_generate_under_mesh():
     assert idx.shape == (1, 8)
 
 
+def test_tp_serving_decode_parity():
+    """Cached batched decode under tensor parallelism (b=8, model=2, data=4):
+    model-sharded params + batch-sharded text must sample the SAME tokens as
+    the unsharded decoder (serving under TP, VERDICT r2 #10)."""
+    mesh = make_mesh(data=4, model=2)
+    model = tiny_model()
+    params = model.init(KEY)
+    text = jnp.tile(jnp.array([[1, 2, 3, 0]]), (8, 1)).at[3, 1].set(9)
+
+    gen = lambda p, t: model.generate(
+        p, text=t, key=KEY, decode_video=False, cond_scale=2.0, method="cached"
+    )
+    ref = np.asarray(gen(params, text))
+
+    sp = shard_params(params, mesh)
+    stext = jax.device_put(text, data_sharding(mesh, 2))
+    out = np.asarray(gen(sp, stext))
+    np.testing.assert_array_equal(out, ref)
+
+
 class _ToyVideoText:
     def __init__(self, video_tokens, vocab, n=32):
         self.video_tokens, self.vocab, self.n = video_tokens, vocab, n
