@@ -54,6 +54,34 @@ from jax.experimental.pallas import tpu as pltpu
 _CACHE_DTYPE = jnp.bfloat16
 
 
+def _hash_u32(x):
+    """splitmix32-style avalanche hash on uint32 vectors (VPU ops only)."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _keep_mask(shape, keep, seed, bi, fi, j):
+    """Bernoulli(keep) mask from a stateless counter hash.
+
+    Keyed by (seed, block, tap) plus the element's mixed-radix index, so the
+    exact mask regenerates wherever it is needed (forward and both backward
+    kernels) with no PRNG state — and identically in compiled and interpret
+    modes (pltpu.prng_random_bits is a zero stub under TPU interpret)."""
+    u32 = jnp.uint32
+    s = jnp.asarray(seed).astype(u32)
+    for v in (bi, fi, j):
+        s = s * u32(0x9E3779B9) + jnp.asarray(v).astype(u32) + u32(0x85EBCA6B)
+    s = _hash_u32(s)
+    e = None
+    for axis, n in enumerate(shape):
+        it = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(u32)
+        e = it if e is None else e * u32(n) + it
+    bits = _hash_u32(e * u32(0x27D4EB2F) ^ s)
+    thresh = np.uint32(min(0xFFFFFFFF, int(round((1.0 - keep) * 2**32))))
+    return bits >= thresh
+
+
 def _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, causal):
     """Static (HW, HW) allowed-mask and (HW, HW, kh*kw) one-hot tap selector
     (which spatial kernel tap, if any, maps query q to key k)."""
@@ -172,6 +200,7 @@ def _kernel(
                   # -inf spatial mask + axial spatial bias + per-tap temporal
                   # bias, precombined outside (one add per tap-pass)
     th_ref,       # (h, h) VMEM talking-heads weights
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     k_hbm,        # (b, h, Tpad, d) ANY
     v_hbm,        # (b, h, Tpad, d) ANY
     out_ref,      # (1, h, HW, d) VMEM
@@ -186,9 +215,20 @@ def _kernel(
     dim_head: int,
     t_valid: int,
     causal_f: bool,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
+    keep = 1.0 - drop_rate
+
+    def drop(j, attn):
+        """Attention dropout (inverted, post-talking-heads). Masks regenerate
+        identically in both backward kernels from the stateless counter hash
+        keyed (seed, block, tap) — j=0 is the bos column."""
+        if drop_rate <= 0.0:
+            return attn
+        m = _keep_mask(attn.shape, keep, seed_ref[0], bi, fi, j)
+        return jnp.where(m, attn * (1.0 / keep), 0.0)
 
     q = q_ref[0].astype(jnp.float32)  # (h, HW, d) — pre-scaled by caller
 
@@ -255,6 +295,7 @@ def _kernel(
         v = vbuf[j].astype(jnp.float32)  # (h, HW, d)
         attn = p_buf[j].astype(jnp.float32) * inv[..., None]  # (h, HW, HW)
         attn = _mix3(th_ref, attn, heads)
+        attn = drop(j + 1, attn)
         acc[...] += jax.lax.dot_general(
             attn, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -263,6 +304,7 @@ def _kernel(
     # bos contribution with the same head mix
     ab = p_bos * inv  # (h, HW)
     attn_bos = _mix2(th_ref, ab, heads)  # (h, HW)
+    attn_bos = drop(0, attn_bos)
     out = acc[...] + attn_bos[..., None] * vbos_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -735,6 +777,7 @@ def _bwd_q_kernel(
     vbos_ref,     # (1, h, 1, d)
     cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
     th_ref,       # (h, h) talking-heads weights
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     k_hbm,        # (b, h, Tpad+pad, d) ANY (LB/RB padded)
     v_hbm,        # ANY
     dq_ref,       # (1, h, HW, d)
@@ -753,10 +796,19 @@ def _bwd_q_kernel(
     t_valid: int,
     causal_f: bool,
     rel_pos: bool,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
     f32 = jnp.float32
+    keep = 1.0 - drop_rate
+
+    def drop(j, x):
+        """Re-apply the forward's dropout mask (d(M/keep ⊙ mix(P))/d(mix(P)))."""
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask(x.shape, keep, seed_ref[0], bi, fi, j)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
 
     q = q_ref[0].astype(f32)
     go = g_ref[0].astype(f32)
@@ -798,7 +850,7 @@ def _bwd_q_kernel(
     # ---- bos pieces -----------------------------------------------------
     s_bos = jnp.sum(q * kbos, axis=-1)          # (h, HW)
     p_bos = jnp.exp(s_bos - lse)
-    dA_bos = jnp.sum(go * vbos, axis=-1)        # (h, HW)
+    dA_bos = drop(0, jnp.sum(go * vbos, axis=-1))  # (h, HW) — masked cotangent
     dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
     rho = p_bos * dp_bos
     dth_acc = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
@@ -823,6 +875,7 @@ def _bwd_q_kernel(
         dA = jax.lax.dot_general(
             go, vmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )  # (h, HWq, HWk)
+        dA = drop(j + 1, dA)  # fold the dropout mask into the cotangent
         dP = _mix3(th_ref, dA, heads, transpose=True)
         rho = rho + jnp.sum(pj * dP, axis=-1)
         dth_acc = dth_acc + _pair_contract(dA, pj, heads)
@@ -866,7 +919,7 @@ def _bwd_q_kernel(
         dvbos_ref[...] = jnp.zeros(dvbos_ref.shape, dvbos_ref.dtype)
 
     dkbos_ref[0, :, 0, :] += _outer_hq_hqd(ds_bos, q).astype(dkbos_ref.dtype)
-    a_bos = _mix2(th_ref, p_bos, heads)
+    a_bos = drop(0, _mix2(th_ref, p_bos, heads))
     dvbos_ref[0, :, 0, :] += _outer_hq_hqd(a_bos, go).astype(dvbos_ref.dtype)
 
 
@@ -875,6 +928,7 @@ def _bwd_kv_kernel(
     v_ref,        # (1, h, HW, d)
     cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
     th_ref,       # (h, h) SMEM
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     q_hbm,        # (b, h, Tpad, d) ANY
     g_hbm,        # (b, h, Tpad, d) ANY — output cotangent
     lse_hbm,      # (b, h, Tpad) ANY
@@ -890,10 +944,18 @@ def _bwd_kv_kernel(
     t_valid: int,
     causal_f: bool,
     num_f: int,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
     f32 = jnp.float32
+    keep = 1.0 - drop_rate
+
+    def drop(fi, j, x):
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask(x.shape, keep, seed_ref[0], bi, fi, j)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
 
     kmat = k_ref[0].astype(f32)
     vmat = v_ref[0].astype(f32)
@@ -946,14 +1008,16 @@ def _bwd_kv_kernel(
                 gm, vmat, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
+            # regenerate query-block (fi)'s tap-j dropout mask
+            dA = drop(fi, j + 1, dA)
             dP = _mix3(th_ref, dA, heads, transpose=True)
             dS = pj * (dP - rho[..., None])
-            # dK[gk] += dS^T q_fi ; dV[gk] += mix(P)^T g_fi
+            # dK[gk] += dS^T q_fi ; dV[gk] += (M ⊙ mix(P))^T g_fi
             dk_s[...] += jax.lax.dot_general(
                 dS, qm, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
-            a_mixed = _mix3(th_ref, pj, heads)
+            a_mixed = drop(fi, j + 1, _mix3(th_ref, pj, heads))
             dv_s[...] += jax.lax.dot_general(
                 a_mixed, gm, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
@@ -1052,14 +1116,17 @@ def _combined_bias(mod, p, heads):
     return cbias, th_w
 
 
-def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad):
+def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
+              seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
-        t_valid=t, causal_f=mod.causal,
+        t_valid=t, causal_f=mod.causal, drop_rate=drop_rate,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1073,6 +1140,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad):
                          memory_space=pltpu.VMEM),                      # v_bos
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # talking heads
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
             pl.BlockSpec(memory_space=pl.ANY),                       # k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                       # v (HBM)
         ],
@@ -1097,20 +1165,23 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, k_bos, v_bos, cbias, th_w, kpad, vpad)
+    )(q, k_bos, v_bos, cbias, th_w, seed, kpad, vpad)
     return out, lse
 
 
 def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
-                kpad, vpad):
+                kpad, vpad, seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
     hb = cbias.shape[1]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h,
         t_valid=t, causal_f=mod.causal, rel_pos=mod.rel_pos_bias,
+        drop_rate=drop_rate,
     )
     return pl.pallas_call(
         kernel,
@@ -1128,6 +1199,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
                          memory_space=pltpu.VMEM),                      # v_bos
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
         ],
@@ -1163,17 +1235,20 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-    )(q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad)
+    )(q, gout, lse, k_bos, v_bos, cbias, th_w, seed, kpad, vpad)
 
 
-def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w):
+def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
+                 seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=HW, heads=h,
-        t_valid=t, causal_f=mod.causal, num_f=F,
+        t_valid=t, causal_f=mod.causal, num_f=F, drop_rate=drop_rate,
     )
     return pl.pallas_call(
         kernel,
@@ -1185,6 +1260,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w):
                          memory_space=pltpu.VMEM),                      # v
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
             pl.BlockSpec(memory_space=pl.ANY),                       # q
             pl.BlockSpec(memory_space=pl.ANY),                       # gout
             pl.BlockSpec(memory_space=pl.ANY),                       # lse
@@ -1212,7 +1288,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(k, v, cbias, th_w, q, gout, lse, rho)
+    )(k, v, cbias, th_w, seed, q, gout, lse, rho)
 
 
 def _pad_frames(geo, k, v):
@@ -1612,33 +1688,42 @@ def _rb_hw_tab(mod, geo, sbias):
 _VJP_CACHE = {}
 
 
-def _core_op(mod, num_frames, t):
+def _core_op(mod, num_frames, t, drop_rate=0.0):
     """custom_vjp core over tensors only (the combined bias is precomputed
-    outside so autodiff chains parameter grads through ``_combined_bias``)."""
-    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
+    outside so autodiff chains parameter grads through ``_combined_bias``).
+
+    ``seed`` drives in-kernel attention dropout (ignored when the static
+    ``drop_rate`` is 0); its cotangent is float0."""
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
         g = _geometry(mod, num_frames, q.shape[-1])
         kpad, vpad = _pad_frames(g, k, v)
-        return _fwd_call(mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad)
+        return _fwd_call(
+            mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate,
+        )
 
     @jax.custom_vjp
-    def core(q, k, v, k_bos, v_bos, cbias, th_w):
-        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)[0]
+    def core(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)[0]
 
-    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
-        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)
-        return out, (q, k, v, k_bos, v_bos, cbias, th_w, lse)
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, seed, lse)
 
     def core_bwd(res, gout):
-        q, k, v, k_bos, v_bos, cbias, th_w, lse = res
+        q, k, v, k_bos, v_bos, cbias, th_w, seed, lse = res
         g = _geometry(mod, num_frames, q.shape[-1])
         kpad, vpad = _pad_frames(g, k, v)
         gout = gout.astype(q.dtype)
         dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
             mod, g, t, q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate,
         )
         dk, dv = _bwd_kv_call(
-            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w
+            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w,
+            seed=seed, drop_rate=drop_rate,
         )
+        dseed = np.zeros((1,), dtype=jax.dtypes.float0)
         return (
             dq,
             dk,
@@ -1647,6 +1732,7 @@ def _core_op(mod, num_frames, t):
             dvbos.astype(v_bos.dtype),
             dcb.astype(cbias.dtype),
             dth.astype(th_w.dtype),
+            dseed,
         )
 
     core.defvjp(core_fwd, core_bwd)
@@ -1684,16 +1770,24 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
         _VJP_CACHE[cache_key] = op_rb
         return op_rb
 
-    core = _core_op(mod, num_frames, t)
+    core = _core_op(mod, num_frames, t, drop_rate=mod.dropout)
+    core_nodrop = (
+        _core_op(mod, num_frames, t, drop_rate=0.0) if mod.dropout else core
+    )
 
-    def op(p_sub, q, k, v, k_bos, v_bos):
+    def op(p_sub, q, k, v, k_bos, v_bos, seed=None):
         d_orig = q.shape[-1]
         geo = _geometry(mod, num_frames, d_orig)
         cbias, th_w = _combined_bias(mod, p_sub, mod.heads)
         q, k, v, k_bos, v_bos = _pad_d(
             [q, k, v, k_bos, v_bos], d_orig, geo["d"]
         )
-        out = core(q, k, v, k_bos, v_bos, cbias, th_w)
+        if seed is None:  # inference: no dropout regardless of mod.dropout
+            out = core_nodrop(
+                q, k, v, k_bos, v_bos, cbias, th_w, jnp.zeros((1,), jnp.int32)
+            )
+        else:
+            out = core(q, k, v, k_bos, v_bos, cbias, th_w, seed)
         return out[:, :, :t, :d_orig]
 
     _VJP_CACHE[cache_key] = op
@@ -1776,30 +1870,35 @@ def _audio_combined_bias(mod, p, heads, geo):
     return cbias, th_w
 
 
-def _audio_core_op(mod, t: int):
-    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
+def _audio_core_op(mod, t: int, drop_rate=0.0):
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
         g = _audio_geometry(mod, t, q.shape[-1])
         kpad, vpad = _pad_frames(g, k, v)
-        return _fwd_call(mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad)
+        return _fwd_call(
+            mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate,
+        )
 
     @jax.custom_vjp
-    def core(q, k, v, k_bos, v_bos, cbias, th_w):
-        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)[0]
+    def core(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)[0]
 
-    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w):
-        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w)
-        return out, (q, k, v, k_bos, v_bos, cbias, th_w, lse)
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, seed, lse)
 
     def core_bwd(res, gout):
-        q, k, v, k_bos, v_bos, cbias, th_w, lse = res
+        q, k, v, k_bos, v_bos, cbias, th_w, seed, lse = res
         g = _audio_geometry(mod, t, q.shape[-1])
         kpad, vpad = _pad_frames(g, k, v)
         gout = gout.astype(q.dtype)
         dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
             mod, g, t, q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate,
         )
         dk, dv = _bwd_kv_call(
-            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w
+            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w,
+            seed=seed, drop_rate=drop_rate,
         )
         return (
             dq,
@@ -1809,6 +1908,7 @@ def _audio_core_op(mod, t: int):
             dvbos.astype(v_bos.dtype),
             dcb.astype(cbias.dtype),
             dth.astype(th_w.dtype),
+            np.zeros((1,), dtype=jax.dtypes.float0),
         )
 
     core.defvjp(core_fwd, core_bwd)
@@ -1825,9 +1925,10 @@ def sparse_2dna_pallas_vjp(mod, t: int):
     if cache_key in _VJP_CACHE:
         return _VJP_CACHE[cache_key]
 
-    core = _audio_core_op(mod, t)
+    core = _audio_core_op(mod, t, drop_rate=mod.dropout)
+    core_nodrop = _audio_core_op(mod, t, drop_rate=0.0) if mod.dropout else core
 
-    def op(p_sub, q, k, v, k_bos, v_bos):
+    def op(p_sub, q, k, v, k_bos, v_bos, seed=None):
         d_orig = q.shape[-1]
         geo = _audio_geometry(mod, t, d_orig)
         total = geo["F"] * geo["HW"]
@@ -1841,7 +1942,12 @@ def sparse_2dna_pallas_vjp(mod, t: int):
 
         q, k, v = tok_pad(q), tok_pad(k), tok_pad(v)
         q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
-        out = core(q, k, v, k_bos, v_bos, cbias, th_w)
+        if seed is None:  # inference: no dropout
+            out = core_nodrop(
+                q, k, v, k_bos, v_bos, cbias, th_w, jnp.zeros((1,), jnp.int32)
+            )
+        else:
+            out = core(q, k, v, k_bos, v_bos, cbias, th_w, seed)
         return out[:, :, :t, :d_orig]
 
     _VJP_CACHE[cache_key] = op

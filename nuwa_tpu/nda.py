@@ -534,16 +534,18 @@ class Sparse3DNA(Module):
 
         rel_bias = self._rel_bias(p)
 
-        # a PRNG key only matters when attention dropout is active; with
-        # dropout=0 the fast paths stay usable during training (trainers
-        # always thread per-layer keys)
-        key_ok = key is None or self.dropout == 0.0
+        # attention dropout runs *inside* the whole-frame kernels (counter
+        # PRNG, masks regenerated in both backwards); the row-blocked family
+        # still falls back to XLA when dropout is active with a key
+        wf = tokens_per_frame <= 256
+        drop_active = self.dropout > 0.0 and key is not None
+        key_ok = (not drop_active) or wf
         # backend='auto' on TPU prefers the fused Pallas kernels (measured
         # faster than the dense XLA path both forward and fwd+bwd on v5e —
         # docs/BENCHMARKS.md); CPU and constrained shapes fall through to XLA.
         on_tpu = jax.default_backend() == "tpu"
         want_pallas = self.use_pallas or (self.backend == "auto" and on_tpu)
-        if tokens_per_frame <= 256:
+        if wf:
             # Mosaic lane rule: the (1, h, HW) lse block needs HW % 128 == 0
             # in compiled mode (interpret mode on CPU has no such limit). At
             # small fmaps the attention op is a negligible share anyway —
@@ -551,7 +553,7 @@ class Sparse3DNA(Module):
             shape_ok = tokens_per_frame % 128 == 0 or not on_tpu
             pallas_ok = want_pallas and key_ok and shape_ok
         else:
-            # large fmaps: row-blocked kernel (causal, fmap width <= 256)
+            # large fmaps: row-blocked kernel (fmap width <= 256)
             from .kernels.nda_pallas import rb_row_block
 
             R = rb_row_block(self)
@@ -570,13 +572,18 @@ class Sparse3DNA(Module):
             p_sub = {"talking_heads": p["talking_heads"]}
             if self.rel_pos_bias:
                 p_sub["rel_pos_bias"] = p["rel_pos_bias"]
-            out = sparse_3dna_pallas_vjp(self, num_frames, t)(
-                p_sub, q_pad, k, v, k_bos, v_bos
-            )
+            op = sparse_3dna_pallas_vjp(self, num_frames, t)
+            if wf and drop_active:
+                seed = jax.random.randint(
+                    key, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                out = op(p_sub, q_pad, k, v, k_bos, v_bos, seed=seed)
+            else:
+                out = op(p_sub, q_pad, k, v, k_bos, v_bos)
         elif (
             self.backend in ("dense", "dense_chunked")
             or (self.backend == "auto" and tokens_per_frame <= 4096)
-        ) and key_ok:
+        ) and not drop_active:  # the dense XLA path has no dropout
             q_pad = (
                 jnp.pad(q, ((0, 0), (0, 0), (0, num_frames * tokens_per_frame - t), (0, 0)))
                 if t < num_frames * tokens_per_frame
@@ -724,18 +731,24 @@ class SparseCausal2DNA(Module):
         v_bos, v = v[:, :, :1], v[:, :, 1:]
 
         # fused Pallas path (timestep pseudo-frames, per-tap masks); same
-        # auto gating as Sparse3DNA — dropout keys fall back to the gather
-        key_ok = key is None or self.dropout == 0.0
+        # auto gating as Sparse3DNA; attention dropout runs in-kernel
         want_pallas = self.use_pallas or (
             self.backend == "auto" and jax.default_backend() == "tpu"
         )
-        if want_pallas and key_ok:
+        if want_pallas:
             from .kernels.nda_pallas import sparse_2dna_pallas_vjp
 
             p_sub = {"talking_heads": p["talking_heads"]}
             if self.rel_pos_bias:
                 p_sub["rel_pos_bias"] = p["rel_pos_bias"]
-            out = sparse_2dna_pallas_vjp(self, t)(p_sub, q, k, v, k_bos, v_bos)
+            seed = None
+            if self.dropout > 0.0 and key is not None:
+                seed = jax.random.randint(
+                    key, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            out = sparse_2dna_pallas_vjp(self, t)(
+                p_sub, q, k, v, k_bos, v_bos, seed=seed
+            )
             out = jnp.concatenate([bos_v_out, out], axis=2)
             return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
 

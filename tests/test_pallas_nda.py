@@ -359,6 +359,77 @@ def test_pallas_audio_2dna_backward_exact_with_fp32_cache():
         K._VJP_CACHE.clear()
 
 
+def test_pallas_dropout_in_kernel():
+    """Attention dropout inside the whole-frame kernel (counter-PRNG masks,
+    regenerated in the backwards): keyless calls are exactly the no-dropout
+    kernel; keyed calls vary with the key, are unbiased in expectation, and
+    produce finite grads through the custom backward."""
+    mod0 = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, use_pallas=True,
+    )
+    mod = mod0.replace(dropout=0.3)
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 13, 16))
+
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(mod0(p, x))
+        # no key => inference => identical to the no-dropout kernel
+        np.testing.assert_array_equal(np.asarray(mod(p, x)), base)
+
+        outs = [
+            np.asarray(mod(p, x, key=jax.random.PRNGKey(i))) for i in range(48)
+        ]
+        assert not np.allclose(outs[0], outs[1])  # keys matter
+        mean = np.mean(outs, axis=0)
+        # inverted dropout is unbiased on the attention weights; the output
+        # mean over keys approaches the undropped output
+        err = np.abs(mean - base).max() / (np.abs(base).max() + 1e-9)
+        assert err < 0.25, err
+
+        g = jax.grad(
+            lambda p: jnp.sum(mod(p, x, key=jax.random.PRNGKey(3)) ** 2)
+        )(p)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pallas_audio_dropout():
+    """In-kernel dropout also covers the audio 2DNA op (keyless = identity
+    to the no-dropout kernel; keyed calls vary)."""
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    mod0 = SparseCausal2DNA(
+        dim=16, height=2, heads=2, dim_head=8, kernel_size=3,
+        use_pallas=True,
+    )
+    mod = mod0.replace(dropout=0.4)
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 1 + 12, 16))
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(mod0(p, x))
+        np.testing.assert_array_equal(np.asarray(mod(p, x)), base)
+        a = np.asarray(mod(p, x, key=jax.random.PRNGKey(0)))
+        b = np.asarray(mod(p, x, key=jax.random.PRNGKey(1)))
+    assert not np.allclose(a, b)
+    assert not np.allclose(a, base)
+
+
+def test_pallas_dropout_masks_consistent_between_passes():
+    """The same key must give bit-identical outputs on repeated forwards
+    (counter PRNG re-seeded per block/tap, no hidden state)."""
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 2, 2), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, use_pallas=True, dropout=0.5,
+    )
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (1, 9, 16))
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(mod(p, x, key=jax.random.PRNGKey(7)))
+        b = np.asarray(mod(p, x, key=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_gradients_match_xla_path():
     """jax.grad through the pallas op (XLA-remat backward) == gather path."""
     mod = Sparse3DNA(
