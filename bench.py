@@ -11,6 +11,12 @@ import time
 
 # run on the real chip (env pins JAX_PLATFORMS=axon); fall back to cpu locally
 import jax
+
+# persistent compile cache: repeat driver runs skip the remote-tunnel
+# compiles entirely (same machine, same configs)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,6 +136,25 @@ def _flops_of(compiled):
         return None
 
 
+def _analytic_train_flops(*, frames, fmap, dim, depth, heads, dim_head,
+                          batch, text_len, vocab, kf=6):
+    """Per-step matmul FLOPs counting the Pallas kernels' real matmuls (XLA's
+    cost model reports 0 for custom calls). bwd = 2x fwd; the reversible
+    recompute adds ~1x of the decoder stack (docs/BENCHMARKS.md roofline)."""
+    inner = heads * dim_head
+    t = frames * fmap * fmap
+    ffi = (dim * 4 * 2) // 3
+    dpad = ((dim_head + 127) // 128) * 128
+    proj = 2 * t * dim * (inner * 4)
+    attn = 2 * t * heads * (kf * fmap * fmap) * dpad * 2
+    ff = 2 * t * dim * (2 * ffi) + 2 * t * ffi * dim
+    layer = proj + attn + ff
+    text_layer = 2 * text_len * dim * (inner * 4) + 2 * text_len * ffi * dim * 3
+    logits = 2 * t * dim * vocab
+    fwd = depth * layer + 2 * text_layer + logits
+    return batch * (3 * fwd + depth * layer)
+
+
 def bench_train_step(frames=10, fmap=16, dim=512, depth=6, heads=8,
                      dim_head=64, batch=2, text_len=32, seed=0):
     """Training step at BASELINE config #3 scale: 10 frames of fmap-16
@@ -200,6 +225,13 @@ def bench_train_step(frames=10, fmap=16, dim=512, depth=6, heads=8,
     if flops:
         out["xla_flops_per_step"] = flops
         out["mfu"] = flops / dt / _V5E_BF16_PEAK
+    # trusted MFU: analytic matmul count incl. the Pallas kernels' real
+    # matmuls (XLA reports 0 FLOPs for custom calls)
+    afl = _analytic_train_flops(
+        frames=frames, fmap=fmap, dim=dim, depth=depth, heads=heads,
+        dim_head=dim_head, batch=batch, text_len=text_len, vocab=1024,
+    )
+    out["mfu_analytic"] = afl / dt / _V5E_BF16_PEAK
     return out
 
 
@@ -319,6 +351,42 @@ def bench_ar_decode_int8(frames=4, fmap=8, dim=512, depth=6, heads=8,
     return {"tokens_per_sec": batch * total_tokens / dt}
 
 
+def bench_generate_long(frames_total=8, max_frames=4, fmap=8, dim=512,
+                        depth=6, heads=8, dim_head=64, text_len=32, batch=1,
+                        method="cached"):
+    """Sliding-window long rollout (2x max_video_frames): cached per-frame
+    prefill + incremental steps vs the reference-style full re-forward."""
+    from nuwa_tpu.models import NUWA
+
+    model = NUWA(
+        dim=dim, image_size=fmap, num_image_tokens=1024,
+        max_video_frames=max_frames, text_num_tokens=49408,
+        text_max_seq_len=text_len, text_enc_depth=2,
+        text_enc_dim_head=dim_head, text_enc_heads=heads, dec_depth=depth,
+        dec_dim_head=dim_head, dec_heads=heads, sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=2, shift_video_tokens=True,
+        compute_dtype="bfloat16",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    text = jnp.ones((batch, text_len), jnp.int32)
+    total = frames_total * model.tokens_per_frame
+
+    def run(key):
+        return model.generate_long(
+            params, text=text, key=key, num_frames=frames_total,
+            decode_video=False, cond_scale=2.0, method=method,
+        )
+
+    _sync(jnp.sum(run(jax.random.PRNGKey(0))))  # compile
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _sync(jnp.sum(run(jax.random.PRNGKey(i + 1))))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {"tokens_per_sec": batch * total / dt, "seconds": dt}
+
+
 def bench_torch_cpu_decode(frames=4, fmap=8, dim=512, depth=6, heads=8,
                            text_len=32, probe_steps=8):
     """PyTorch-CPU baseline probe: a dense causal transformer decoder of the
@@ -423,8 +491,24 @@ def main():
         line["train_tokens_per_sec"] = round(tr["train_tokens_per_sec"], 2)
         if "mfu" in tr:
             line["train_mfu"] = round(tr["mfu"], 4)
+        line["train_mfu_analytic"] = round(tr["mfu_analytic"], 4)
     except Exception as e:  # pragma: no cover
         line["train_error"] = repr(e)[:200]
+    try:
+        tr8 = bench_train_step(batch=8)
+        line["train_tokens_per_sec_b8"] = round(tr8["train_tokens_per_sec"], 2)
+        line["train_mfu_analytic_b8"] = round(tr8["mfu_analytic"], 4)
+    except Exception as e:  # pragma: no cover
+        line["train_b8_error"] = repr(e)[:200]
+    try:
+        gl = bench_generate_long()
+        line["generate_long_tokens_per_sec"] = round(gl["tokens_per_sec"], 2)
+        glf = bench_generate_long(method="full")
+        line["generate_long_full_reforward_tokens_per_sec"] = round(
+            glf["tokens_per_sec"], 2
+        )
+    except Exception as e:  # pragma: no cover
+        line["generate_long_error"] = repr(e)[:200]
     try:
         du = bench_dual_train_step()
         line["dual_train_ms_per_step_depth12"] = round(du["ms_per_step"], 2)

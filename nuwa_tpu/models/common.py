@@ -9,11 +9,53 @@ here the uncond pass correctly reuses the input embeddings).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..utils.quantize import dequant
 from ..ops.sampling import gumbel_sample, top_k_filter
+
+
+@functools.lru_cache(maxsize=64)
+def long_frame_decoder(model, win, W, b, use_cfg, filter_thres, temperature,
+                       cond_scale):
+    """Jitted sliding-window frame decoder for ``generate_long`` (NUWA and
+    NUWASketch share the single-tower shape), cached per (model, shapes) so
+    repeated calls skip retracing. All traced values enter as arguments
+    (params / pos-emb / context); static config rides the cache key. The
+    model is a frozen dataclass, hence hashable."""
+    from ..decode import TransformerDecoder
+
+    dec = TransformerDecoder(model.video_transformer, total_in=win)
+    cache_dtype = model._dtype if model._dtype is not None else jnp.float32
+    eb = 2 * b if use_cfg else b
+    tpf = model.tokens_per_frame
+
+    @jax.jit
+    def decode_frame(ptr, embed_table, pos_emb, bos_vec, to_logits, ctx,
+                     cmask, window, key):
+        """window: (b, W) prior tokens; returns the next frame (b, tpf)."""
+        caches = dec.init_cache(ptr, eb, ctx, cmask, dtype=cache_dtype)
+        # prefill positions 0..W-1: inputs [bos, tok_0..tok_{W-2}]
+        emb = jnp.take(embed_table, window[:, : W - 1], axis=0)
+        emb = emb + pos_emb[: W - 1][None]
+        bos = jnp.broadcast_to(bos_vec, (b, 1, model.dim))
+        x = jnp.concatenate([bos, emb], axis=1)
+        if use_cfg:
+            x = jnp.concatenate([x, x], axis=0)
+        caches = dec.prefill(ptr, caches, x.astype(cache_dtype))
+        return cached_ar_rollout(
+            dec=dec, p_transformer=ptr, caches=caches,
+            embed_table=embed_table, pos_emb=pos_emb,
+            bos_vec=bos_vec, to_logits=to_logits,
+            batch=b, total=tpf, key=key, filter_thres=filter_thres,
+            temperature=temperature, cond_scale=cond_scale, dim=model.dim,
+            dtype=model._dtype, start_pos=W, init_prev=window[:, -1],
+        )
+
+    return decode_frame
 
 
 def cached_ar_rollout(

@@ -24,7 +24,7 @@ from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
 from ..ops.sampling import prob_mask_like
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
-from .common import ar_decode_loop, cached_ar_rollout
+from .common import ar_decode_loop, cached_ar_rollout, long_frame_decoder
 
 
 def cross_entropy(logits, targets):
@@ -425,32 +425,16 @@ class NUWA(Module):
         W = (maxf - 1) * tpf
 
         if method == "cached":
-            from ..decode import TransformerDecoder
-
-            dec = TransformerDecoder(self.video_transformer, total_in=win)
-            cache_dtype = self._dtype if self._dtype is not None else jnp.float32
-            ptr = p["video_transformer"]
             pos_emb = self._video_pos_emb(p["video_pos_emb"])
+            fr = long_frame_decoder(
+                self, win, W, b, use_cfg, filter_thres, temperature, cond_scale
+            )
 
-            @jax.jit
             def decode_frame(window, key):
-                """window: (b, W) prior tokens; returns the next frame."""
-                caches = dec.init_cache(ptr, eb, ctx, cmask, dtype=cache_dtype)
-                # prefill positions 0..W-1: inputs [bos, tok_0..tok_{W-2}]
-                emb = jnp.take(p["image_embedding"]["table"], window[:, : W - 1], axis=0)
-                emb = emb + pos_emb[: W - 1][None]
-                bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
-                x = jnp.concatenate([bos, emb], axis=1)
-                if use_cfg:
-                    x = jnp.concatenate([x, x], axis=0)
-                caches = dec.prefill(ptr, caches, x.astype(cache_dtype))
-                return cached_ar_rollout(
-                    dec=dec, p_transformer=ptr, caches=caches,
-                    embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
-                    bos_vec=p["video_bos"], to_logits=p["to_logits"],
-                    batch=b, total=tpf, key=key, filter_thres=filter_thres,
-                    temperature=temperature, cond_scale=cond_scale, dim=self.dim,
-                    dtype=self._dtype, start_pos=W, init_prev=window[:, -1],
+                return fr(
+                    p["video_transformer"], p["image_embedding"]["table"],
+                    pos_emb, p["video_bos"], p["to_logits"], ctx, cmask,
+                    window, key,
                 )
 
         else:

@@ -327,34 +327,20 @@ class NUWASketch(Module):
         W = (maxf - 1) * tpf
 
         if method == "cached":
-            from ..decode import TransformerDecoder
-            from .common import cached_ar_rollout
+            from .common import long_frame_decoder
 
-            dec = TransformerDecoder(self.video_transformer, total_in=win)
-            ptr = p["video_transformer"]
             pos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
                 p["video_pos_emb"]
             )
+            fr = long_frame_decoder(
+                self, win, W, b, use_cfg, filter_thres, temperature, cond_scale
+            )
 
-            @jax.jit
             def decode_frame(window, key):
-                caches = dec.init_cache(ptr, eb, ctx, cmask)
-                emb = jnp.take(
-                    p["image_embedding"]["table"], window[:, : W - 1], axis=0
-                )
-                emb = emb + pos_emb[: W - 1][None]
-                bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
-                x = jnp.concatenate([bos, emb], axis=1)
-                if use_cfg:
-                    x = jnp.concatenate([x, x], axis=0)
-                caches = dec.prefill(ptr, caches, x)
-                return cached_ar_rollout(
-                    dec=dec, p_transformer=ptr, caches=caches,
-                    embed_table=p["image_embedding"]["table"], pos_emb=pos_emb,
-                    bos_vec=p["video_bos"], to_logits=p["to_logits"],
-                    batch=b, total=tpf, key=key, filter_thres=filter_thres,
-                    temperature=temperature, cond_scale=cond_scale,
-                    dim=self.dim, start_pos=W, init_prev=window[:, -1],
+                return fr(
+                    p["video_transformer"], p["image_embedding"]["table"],
+                    pos_emb, p["video_bos"], p["to_logits"], ctx, cmask,
+                    window, key,
                 )
 
         else:

@@ -29,6 +29,75 @@ from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
 from .nuwa import cross_entropy
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _va_long_frame_fn(model, b, use_cfg, filter_thres, temperature,
+                      cond_scale):
+    """Jitted sliding-window dual frame decoder, cached per (model, shapes)
+    so repeated ``generate_long`` calls skip retracing (the single-tower
+    analogue lives in models/common.py:long_frame_decoder). Traced values
+    (params / context) enter as arguments; static config rides the key."""
+    from ..decode_dual import DualDecoderCache
+
+    maxf = model.max_video_frames
+    vtpf = model.num_video_tokens_per_frame
+    atpf = model.num_audio_tokens_per_video_frame
+    Wv, Wa = (maxf - 1) * vtpf, (maxf - 1) * atpf
+    eb = 2 * b if use_cfg else b
+    dec = DualDecoderCache(
+        model.video_audio_transformer,
+        total_v_in=maxf * vtpf,
+        total_a_in=maxf * atpf + 1,
+    )
+
+    def widen(x):
+        return jnp.concatenate([x, x], axis=0) if use_cfg else x
+
+    def cfg_mix(logits):
+        if not use_cfg:
+            return logits
+        cond, uncond = logits[:b], logits[b:]
+        return uncond + (cond - uncond) * cond_scale
+
+    @jax.jit
+    def decode_frame(p, ctx, cmask, wv, wa, key):
+        """wv: (b, Wv), wa: (b, Wa) prior frames' tokens; decodes the
+        window-relative frame maxf-1 of both modalities."""
+        ptr = p["video_audio_transformer"]
+        vpos_emb = AxialPositionalEmbedding(model.dim, shape=model.video_shape)(
+            p["video_pos_emb"]
+        )
+        apos_emb = model._audio_pos_emb(p["audio_pos_emb"])
+        caches = dec.init_cache(ptr, eb, ctx, cmask)
+        # video inputs, positions 0..Wv-1: [bos, tok_0..tok_{Wv-2}]
+        v_emb = jnp.take(p["image_embedding"]["table"], wv[:, : Wv - 1], axis=0)
+        v_emb = v_emb + vpos_emb[: Wv - 1][None]
+        v_bos = jnp.broadcast_to(p["video_bos"], (b, 1, model.dim))
+        x_v = widen(jnp.concatenate([v_bos, v_emb], axis=1))
+        # audio inputs, positions 0..Wa (one ahead: the rollout keeps the
+        # audio tower's NEXT-position logits pending)
+        a_emb = jnp.take(p["audio_embedding"]["table"], wa, axis=0)
+        a_emb = a_emb + apos_emb[:Wa][None]
+        a_bos = jnp.broadcast_to(p["audio_bos"], (b, 1, model.dim))
+        x_a = widen(jnp.concatenate([a_bos, a_emb], axis=1))
+
+        _, y_a, caches = dec.prefill(ptr, caches, x_v, x_a)
+        pending0 = cfg_mix(
+            jnp.dot(y_a[:, -1], dequant(p["to_audio_logits"], y_a.dtype))
+        )
+        vbuf0 = jnp.zeros((b, maxf * vtpf), jnp.int32)
+        abuf0 = jnp.zeros((b, maxf * atpf), jnp.int32)
+        _, vbuf, abuf = model._dual_frame_rollout(
+            p, dec, ptr, caches, pending0, wv[:, -1], vbuf0, abuf0,
+            jnp.arange(maxf - 1, maxf), key, b, use_cfg,
+            filter_thres, temperature, cond_scale,
+        )
+        return vbuf[:, Wv:], abuf[:, Wa:]
+
+    return decode_frame
+
 
 @dataclass(frozen=True)
 class NUWAVideoAudio(Module):
@@ -507,57 +576,12 @@ class NUWAVideoAudio(Module):
         Wv, Wa = (maxf - 1) * vtpf, (maxf - 1) * atpf
 
         if method == "cached":
-            from ..decode_dual import DualDecoderCache
-
-            ptr = p["video_audio_transformer"]
-            dec = DualDecoderCache(
-                self.video_audio_transformer,
-                total_v_in=maxf * vtpf,
-                total_a_in=maxf * atpf + 1,
+            fr = _va_long_frame_fn(
+                self, b, use_cfg, filter_thres, temperature, cond_scale
             )
-            vpos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
-                p["video_pos_emb"]
-            )
-            apos_emb = self._audio_pos_emb(p["audio_pos_emb"])
 
-            def widen(x):
-                return jnp.concatenate([x, x], axis=0) if use_cfg else x
-
-            def cfg_mix(logits):
-                if not use_cfg:
-                    return logits
-                cond, uncond = logits[:b], logits[b:]
-                return uncond + (cond - uncond) * cond_scale
-
-            @jax.jit
             def decode_frame(wv, wa, key):
-                """wv: (b, Wv), wa: (b, Wa) prior frames' tokens; decodes the
-                window-relative frame maxf-1 of both modalities."""
-                caches = dec.init_cache(ptr, eb, ctx, cmask)
-                # video inputs, positions 0..Wv-1: [bos, tok_0..tok_{Wv-2}]
-                v_emb = jnp.take(p["image_embedding"]["table"], wv[:, : Wv - 1], axis=0)
-                v_emb = v_emb + vpos_emb[: Wv - 1][None]
-                v_bos = jnp.broadcast_to(p["video_bos"], (b, 1, self.dim))
-                x_v = widen(jnp.concatenate([v_bos, v_emb], axis=1))
-                # audio inputs, positions 0..Wa (one ahead: the rollout keeps
-                # the audio tower's NEXT-position logits pending)
-                a_emb = jnp.take(p["audio_embedding"]["table"], wa, axis=0)
-                a_emb = a_emb + apos_emb[:Wa][None]
-                a_bos = jnp.broadcast_to(p["audio_bos"], (b, 1, self.dim))
-                x_a = widen(jnp.concatenate([a_bos, a_emb], axis=1))
-
-                _, y_a, caches = dec.prefill(ptr, caches, x_v, x_a)
-                pending0 = cfg_mix(
-                    jnp.dot(y_a[:, -1], dequant(p["to_audio_logits"], y_a.dtype))
-                )
-                vbuf0 = jnp.zeros((b, maxf * vtpf), jnp.int32)
-                abuf0 = jnp.zeros((b, maxf * atpf), jnp.int32)
-                _, vbuf, abuf = self._dual_frame_rollout(
-                    p, dec, ptr, caches, pending0, wv[:, -1], vbuf0, abuf0,
-                    jnp.arange(maxf - 1, maxf), key, b, use_cfg,
-                    filter_thres, temperature, cond_scale,
-                )
-                return vbuf[:, Wv:], abuf[:, Wa:]
+                return fr(p, ctx, cmask, wv, wa, key)
 
         else:
 

@@ -28,6 +28,7 @@ Semantics notes (verified against the reference):
 """
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -784,6 +785,25 @@ class SparseCausal2DNA(Module):
 # ---------------------------------------------------------------------------
 
 
+@_functools.lru_cache(maxsize=None)
+def _cross_dense_mask(fmap, kernel_size, dilation, num_ctx_frames):
+    """(HW, Fc·HW) bool: query i may attend context col j (centered kernel
+    neighborhood around i's spatial position, replicated per context frame)."""
+    hw = fmap * fmap
+    idx_np, valid_np = build_nda_indices(
+        (fmap, fmap),
+        (kernel_size, kernel_size),
+        (dilation, dilation),
+        ("centered", "centered"),
+    )
+    frame = np.zeros((hw, hw), dtype=bool)
+    rows = np.arange(hw)
+    for kk in range(idx_np.shape[1]):
+        sel = valid_np[:, kk]
+        frame[rows[sel], idx_np[sel, kk]] = True
+    return np.tile(frame, (1, num_ctx_frames))
+
+
 @dataclass(frozen=True)
 class SparseCross2DNA(Module):
     """Cross attention from video queries to a per-frame 2D spatial
@@ -801,6 +821,12 @@ class SparseCross2DNA(Module):
     dropout: float = 0.0
     kernel_size: int = 3
     dilation: int = 1
+    # 'dense' computes masked dense scores over the whole (small) context —
+    # pure MXU work, no gathers/transposes; 'gather' builds per-query
+    # neighborhoods (useful-FLOPs-only, but overhead-bound on TPU — see
+    # scripts/bench_cross_2dna.py). 'auto' = dense while the context fits a
+    # dense score tile.
+    backend: str = "auto"  # 'auto' | 'dense' | 'gather'
 
     @property
     def inner_dim(self):
@@ -866,6 +892,18 @@ class SparseCross2DNA(Module):
             (self.dilation, self.dilation),
             ("centered", "centered"),
         )  # (HW, Kn)
+
+        use_dense = self.backend == "dense" or (
+            self.backend == "auto" and context_len <= 4096
+        )
+        if use_dense:
+            out = self._dense_attend(
+                p, q, k, v, null_k, null_v, idx_np, valid_np,
+                context_mask, tokens_per_frame, num_ctx_frames, t, key,
+            )
+            out = jnp.concatenate([out_bos, out], axis=2)
+            return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
+
         idx = jnp.asarray(idx_np)
         valid = jnp.asarray(valid_np)
 
@@ -913,3 +951,43 @@ class SparseCross2DNA(Module):
 
         out = jnp.concatenate([out_bos, out], axis=2)
         return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
+
+    def _dense_attend(self, p, q, k, v, null_k, null_v, idx_np, valid_np,
+                      context_mask, hw, num_ctx_frames, t, key):
+        """Masked dense scores over the whole context: one (HW, Fc·HW) static
+        neighborhood mask shared by every query frame — all-MXU score/PV
+        matmuls, no gathers or 6-D transposes. The context is small (one or a
+        few sketch frames), so the ~HW/Kn score overcompute is dwarfed by the
+        gather path's per-op overheads (measured on chip: 2.33 ms gather vs
+        dense at the sketch config, scripts/bench_cross_2dna.py)."""
+        b = q.shape[0]
+        h, dh = self.heads, self.dim_head
+        neg = max_neg_value(jnp.float32)
+
+        allowed = _cross_dense_mask(
+            self.image_size, self.kernel_size, self.dilation, num_ctx_frames
+        )  # np bool (HW, Fc·HW)
+
+        pad = (-t) % hw
+        if pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        fq = q.shape[2] // hw
+        q = q.reshape(b, h, fq, hw, dh)
+
+        sim = jnp.einsum("bhfid,bhjd->bhfij", q, k)
+        sim_null = jnp.einsum("bhfid,bhd->bhfi", q, null_k[:, :, 0])[..., None]
+        ok = jnp.asarray(allowed)[None, :, :] & context_mask[:, None, :]
+        sim = masked_fill(sim, ~ok[:, None, None], neg)
+        sim = jnp.concatenate([sim_null, sim], axis=-1)
+
+        attn = stable_softmax(sim, axis=-1)
+        attn = jnp.einsum(
+            "bhfij,gh->bgfij", attn, p["talking_heads"].astype(attn.dtype)
+        )
+        attn = dropout(attn, self.dropout, key)
+        attn = attn.astype(v.dtype)
+
+        attn_null, attn = attn[..., :1], attn[..., 1:]
+        out = jnp.einsum("bhfij,bhjd->bhfid", attn, v)
+        out = out + attn_null * null_v[:, :, None]
+        return out.reshape(b, h, fq * hw, dh)[:, :, :t]

@@ -6,7 +6,16 @@ Shows the production decode path end to end on one chip:
   * classifier-free guidance as a 2x-batch stream
   * bf16 activations
 
-Run: python scripts/serve_example.py [--batch 8] [--int8]
+Run: python scripts/serve_example.py [--batch 8] [--int8] [--mesh D,M]
+
+``--mesh D,M`` runs the same cached decode under a (data=D, model=M) device
+mesh: params are laid out by the TP rules (parallel/sharding.py — column/
+row-parallel projections, feature-sharded embeddings, vocab-sharded logits
+head; int8 scales follow their weights), the batch is sharded over 'data',
+and XLA SPMD inserts the ICI collectives. On a multi-chip slice this is the
+model-parallel serving path; on one chip use D=M=1 (identity layout, same
+code path). Parity vs the unsharded decoder is pinned by
+tests/test_parallel.py::test_tp_serving_decode_parity (b=8, data=4, model=2).
 """
 import argparse
 import json
@@ -32,6 +41,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--mesh", type=str, default=None, metavar="D,M",
+                    help="serve under a (data=D, model=M) mesh (TP rules)")
     args = ap.parse_args()
 
     model = NUWA(
@@ -49,6 +60,16 @@ def main():
     prompts = ["a red square moving right"] * args.batch
     text = jnp.asarray(tokenizer.tokenize(prompts, context_length=32))
 
+    mesh_shape = None
+    if args.mesh:
+        from nuwa_tpu.parallel import data_sharding, make_mesh, shard_params
+
+        d, m = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(data=d, model=m)
+        params = shard_params(params, mesh)
+        text = jax.device_put(text, data_sharding(mesh, ndim=2))
+        mesh_shape = [d, m]
+
     gen = jax.jit(
         lambda p, text, key: model.generate(
             p, text=text, key=key, decode_video=False, cond_scale=2.0
@@ -65,6 +86,7 @@ def main():
     print(json.dumps({
         "batch": args.batch,
         "int8": args.int8,
+        "mesh": mesh_shape,
         "tokens": total,
         "tokens_per_sec": round(total / dt, 1),
         "sample_shape": list(idx.shape),

@@ -417,6 +417,37 @@ def test_sparse_cross_2dna_vs_oracle():
     np.testing.assert_allclose(out, oracle, atol=1e-4)
 
 
+def test_sparse_cross_2dna_dense_matches_gather():
+    """The masked-dense cross backend must equal the gather path (fwd+grads),
+    ragged tail + partially-masked context included."""
+    mod_g = SparseCross2DNA(
+        dim=16, image_size=4, heads=2, dim_head=8, kernel_size=3,
+        backend="gather",
+    )
+    mod_d = mod_g.replace(backend="dense")
+    p = mod_g.init(KEY)
+    x = jax.random.normal(KEY, (2, 1 + 37, 16))  # ragged: 37 = 2*16 + 5
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 2 * 16, 16))
+    cmask = jnp.array([[True] * 32, [True] * 20 + [False] * 12])
+    out_g = mod_g(p, x, context=ctx, context_mask=cmask)
+    out_d = mod_d(p, x, context=ctx, context_mask=cmask)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g), atol=1e-5)
+
+    w = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+
+    def loss(mod):
+        return lambda p, x, c: jnp.sum(mod(p, x, context=c, context_mask=cmask) * w)
+
+    g_g = jax.grad(loss(mod_g), argnums=(0, 1, 2))(p, x, ctx)
+    g_d = jax.grad(loss(mod_d), argnums=(0, 1, 2))(p, x, ctx)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        g_d, g_g,
+    )
+
+
 def test_sparse_cross_2dna_masked_context_ignored():
     mod = SparseCross2DNA(dim=16, image_size=2, heads=2, dim_head=8)
     p = mod.init(KEY)
