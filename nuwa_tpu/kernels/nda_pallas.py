@@ -201,6 +201,8 @@ def _kernel(
                   # bias, precombined outside (one add per tap-pass)
     th_ref,       # (h, h) VMEM talking-heads weights
     seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
+    cmask_ref,    # (1, 1, Lc) VMEM — additive runtime key mask (cross
+                  # path); a dummy when has_cmask=False
     k_hbm,        # (b, h, Tpad, d) ANY
     v_hbm,        # (b, h, Tpad, d) ANY
     out_ref,      # (1, h, HW, d) VMEM
@@ -216,6 +218,8 @@ def _kernel(
     t_valid: int,
     causal_f: bool,
     drop_rate: float = 0.0,
+    fixed_taps: bool = False,
+    has_cmask: bool = False,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -236,6 +240,8 @@ def _kernel(
 
     def tap_src_frame(j):
         # original-frame index of tap j; padded slice start is (g + LB) * HW
+        if fixed_taps:  # cross attention: tap j IS context frame j, any fi
+            return j
         if causal_f:
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
@@ -267,7 +273,9 @@ def _kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (h, HW, HW)
-        s = s + cbias_ref[j]
+        s = s + cbias_ref[0 if fixed_taps else j]
+        if has_cmask:  # fixed-taps only (j is static): tap j's mask columns
+            s = s + cmask_ref[0, :, j * HW : (j + 1) * HW][None]
         # validity: tap frame exists and kv token < t_valid
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)  # (1, HW)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
@@ -778,6 +786,7 @@ def _bwd_q_kernel(
     cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
     th_ref,       # (h, h) talking-heads weights
     seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
+    cmask_ref,    # (1, 1, Lc) VMEM — additive runtime key mask (cross path)
     k_hbm,        # (b, h, Tpad+pad, d) ANY (LB/RB padded)
     v_hbm,        # ANY
     dq_ref,       # (1, h, HW, d)
@@ -797,6 +806,8 @@ def _bwd_q_kernel(
     causal_f: bool,
     rel_pos: bool,
     drop_rate: float = 0.0,
+    fixed_taps: bool = False,
+    has_cmask: bool = False,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -819,6 +830,8 @@ def _bwd_q_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
 
     def tap_src_frame(j):
+        if fixed_taps:  # cross attention: tap j IS context frame j, any fi
+            return j
         if causal_f:
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
@@ -866,7 +879,9 @@ def _bwd_q_kernel(
         s = jax.lax.dot_general(
             q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )
-        s = s + cbias_ref[j]
+        s = s + cbias_ref[0 if fixed_taps else j]
+        if has_cmask:
+            s = s + cmask_ref[0, :, j * HW : (j + 1) * HW][None]
         tok_ok = jnp.logical_and(g >= 0, (g * HW + col) < t_valid)
         s = jnp.where(tok_ok[None, :, :], s, -1e30)
         # round through the forward's cache dtype so P is consistent with lse
@@ -929,6 +944,8 @@ def _bwd_kv_kernel(
     cbias_ref,    # (Kf, hb, HW, HW) combined additive bias
     th_ref,       # (h, h) SMEM
     seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
+    cmask_ref,    # (1, 1, 1, HW) VMEM — this key frame's additive runtime
+                  # mask
     q_hbm,        # (b, h, Tpad, d) ANY
     g_hbm,        # (b, h, Tpad, d) ANY — output cotangent
     lse_hbm,      # (b, h, Tpad) ANY
@@ -945,6 +962,8 @@ def _bwd_kv_kernel(
     causal_f: bool,
     num_f: int,
     drop_rate: float = 0.0,
+    fixed_taps: bool = False,
+    has_cmask: bool = False,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
@@ -965,13 +984,7 @@ def _bwd_kv_kernel(
     dk_s[...] = jnp.zeros(dk_s.shape, dk_s.dtype)
     dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
 
-    for j in range(Kf):
-        # query frame whose tap j reads key frame gk
-        fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
-        cond = jnp.logical_and(fi >= 0, fi < num_f)
-
-        @pl.when(cond)
-        def _(j=j, fi=fi):
+    def accum(fi, j):
             start = fi * HW
             cps = [
                 pltpu.make_async_copy(
@@ -1000,7 +1013,9 @@ def _bwd_kv_kernel(
                 qm, kmat, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
-            s = s + cbias_ref[j]
+            s = s + cbias_ref[0 if fixed_taps else j]
+            if has_cmask:
+                s = s + cmask_ref[0, 0][None]
             s = jnp.where(tok_ok[None, :, :], s, -1e30)
             s = s.astype(_CACHE_DTYPE).astype(f32)
             pj = jnp.exp(s - lse[..., None])
@@ -1022,6 +1037,21 @@ def _bwd_kv_kernel(
                 a_mixed, gm, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )
+
+    if fixed_taps:
+        # cross attention: EVERY query frame reads this key (context) frame
+        # with the one shared bias tap (dropout is gated off on this path)
+        for fi in range(num_f):
+            accum(fi, 0)
+    else:
+        for j in range(Kf):
+            # query frame whose tap j reads key frame gk
+            fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
+            cond = jnp.logical_and(fi >= 0, fi < num_f)
+
+            @pl.when(cond)
+            def _(j=j, fi=fi):
+                accum(fi, j)
 
     dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
     dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
@@ -1117,16 +1147,20 @@ def _combined_bias(mod, p, heads):
 
 
 def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
-              seed=None, drop_rate=0.0):
+              seed=None, drop_rate=0.0, fixed_taps=False, cmask=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    has_cmask = cmask is not None
+    if cmask is None:
+        cmask = jnp.zeros((b, 1, 128), jnp.float32)
     kernel = functools.partial(
         _kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
-        t_valid=t, causal_f=mod.causal, drop_rate=drop_rate,
+        t_valid=t, causal_f=False if fixed_taps else mod.causal,
+        drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1141,6 +1175,8 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # talking heads
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
+            pl.BlockSpec((1, 1, cmask.shape[2]), lambda bi, fi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),                      # cmask
             pl.BlockSpec(memory_space=pl.ANY),                       # k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                       # v (HBM)
         ],
@@ -1165,23 +1201,28 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, k_bos, v_bos, cbias, th_w, seed, kpad, vpad)
+    )(q, k_bos, v_bos, cbias, th_w, seed, cmask, kpad, vpad)
     return out, lse
 
 
 def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
-                kpad, vpad, seed=None, drop_rate=0.0):
+                kpad, vpad, seed=None, drop_rate=0.0, fixed_taps=False,
+                cmask=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
     hb = cbias.shape[1]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    has_cmask = cmask is not None
+    if cmask is None:
+        cmask = jnp.zeros((b, 1, 128), jnp.float32)
     kernel = functools.partial(
         _bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h,
-        t_valid=t, causal_f=mod.causal, rel_pos=mod.rel_pos_bias,
-        drop_rate=drop_rate,
+        t_valid=t, causal_f=False if fixed_taps else mod.causal,
+        rel_pos=getattr(mod, "rel_pos_bias", False),
+        drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
     )
     return pl.pallas_call(
         kernel,
@@ -1200,6 +1241,8 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
+            pl.BlockSpec((1, 1, cmask.shape[2]), lambda bi, fi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),                      # cmask
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
         ],
@@ -1214,7 +1257,8 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
                          memory_space=pltpu.VMEM),                      # dv_bos
             pl.BlockSpec((h, h), lambda bi, fi: (0, 0),
                          memory_space=pltpu.VMEM),                      # dth
-            pl.BlockSpec((kf, hb, HW, HW), lambda bi, fi: (0, 0, 0, 0),
+            pl.BlockSpec((cbias.shape[0], hb, HW, HW),
+                         lambda bi, fi: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),                      # dcbias
         ),
         out_shape=(
@@ -1223,7 +1267,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
-            jax.ShapeDtypeStruct((kf, hb, HW, HW), jnp.float32),
+            jax.ShapeDtypeStruct((cbias.shape[0], hb, HW, HW), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((kf, h, HW, d), q.dtype),        # kbuf, one slot per tap
@@ -1235,24 +1279,29 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-    )(q, gout, lse, k_bos, v_bos, cbias, th_w, seed, kpad, vpad)
+    )(q, gout, lse, k_bos, v_bos, cbias, th_w, seed, cmask, kpad, vpad)
 
 
 def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
-                 seed=None, drop_rate=0.0):
+                 seed=None, drop_rate=0.0, fixed_taps=False, cmask=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
+    Fk = geo.get("Fk", F)  # key frames (context frames under fixed taps)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    has_cmask = cmask is not None
+    if cmask is None:
+        cmask = jnp.zeros((b, Fk, 1, HW), jnp.float32)
     kernel = functools.partial(
         _bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=HW, heads=h,
-        t_valid=t, causal_f=mod.causal, num_f=F, drop_rate=drop_rate,
+        t_valid=t, causal_f=False if fixed_taps else mod.causal, num_f=F,
+        drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, F),
+        grid=(b, Fk),
         in_specs=[
             pl.BlockSpec((1, h, HW, d), lambda bi, gk: (bi, 0, gk, 0),
                          memory_space=pltpu.VMEM),                      # k
@@ -1261,6 +1310,8 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cbias
             _th_spec(h),                      # th
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
+            pl.BlockSpec((1, 1, 1, HW), lambda bi, gk: (bi, gk, 0, 0),
+                         memory_space=pltpu.VMEM),                      # cmask
             pl.BlockSpec(memory_space=pl.ANY),                       # q
             pl.BlockSpec(memory_space=pl.ANY),                       # gout
             pl.BlockSpec(memory_space=pl.ANY),                       # lse
@@ -1273,8 +1324,8 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, F * HW, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, Fk * HW, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, Fk * HW, d), q.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((h, HW, d), q.dtype),            # qbuf
@@ -1288,7 +1339,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(k, v, cbias, th_w, seed, q, gout, lse, rho)
+    )(k, v, cbias, th_w, seed, cmask, q, gout, lse, rho)
 
 
 def _pad_frames(geo, k, v):
@@ -2021,5 +2072,117 @@ def sparse_3dna_pallas_vjp_remat(mod, num_frames: int, t: int):
         return vjp(g)
 
     op.defvjp(op_fwd, op_bwd)
+    _VJP_CACHE[cache_key] = op
+    return op
+
+
+# ---------------------------------------------------------------------------
+# SparseCross2DNA (video queries -> sketch context) on the whole-frame family
+#
+# Cross attention differs from the self NDAs in one structural way: every
+# query frame attends the SAME per-frame context neighborhoods (reference
+# nuwa_pytorch.py:761-901). The whole-frame kernels run in ``fixed_taps``
+# mode — tap j IS context frame j regardless of the query-frame grid index,
+# with one shared centered spatial-mask bias tap. The context is small
+# enough to sit in VMEM whole, so the fused score/softmax/mix/PV pass
+# replaces the XLA gather path's per-op overhead chain (measured ~3.6 ms
+# fwd at b=8 fmap 16 for ~0.2 GFLOP of useful work).
+# ---------------------------------------------------------------------------
+
+
+def _cross_geometry(mod, t: int, Lc: int, d_orig: int):
+    HW = mod.image_size * mod.image_size
+    Fc = Lc // HW
+    F = -(-t // HW)  # query frames (padded to whole frames)
+    d = ((d_orig + 127) // 128) * 128
+    return dict(HW=HW, kf=Fc, df=1, LB=0, RB=0, F=F, Fk=Fc, d=d)
+
+
+@functools.lru_cache(maxsize=None)
+def _cross_mask_np(fmap, kernel_size, dilation):
+    mask_np, _ = _spatial_mask_and_selector(
+        fmap, fmap, kernel_size, kernel_size, dilation, dilation, False
+    )
+    return np.where(mask_np, 0.0, -np.inf).astype(np.float32)
+
+
+def _cross_core_op(mod, t: int, Lc: int):
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask):
+        g = _cross_geometry(mod, t, Lc, q.shape[-1])
+        return _fwd_call(
+            mod, g, Lc, q, k_bos, v_bos, cbias, th_w, k, v,
+            fixed_taps=True, cmask=cmask[:, None],
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, cbias, th_w, cmask):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, cmask, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, cbias, th_w, cmask, lse = res
+        g = _cross_geometry(mod, t, Lc, q.shape[-1])
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
+            mod, g, Lc, q, gout, lse, k_bos, v_bos, cbias, th_w, k, v,
+            fixed_taps=True, cmask=cmask[:, None],
+        )
+        dk, dv = _bwd_kv_call(
+            mod, g, Lc, q, gout, lse, rho, k, v, cbias, th_w,
+            fixed_taps=True,
+            cmask=cmask.reshape(cmask.shape[0], g["Fk"], 1, g["HW"]),
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dcb.astype(cbias.dtype),
+            dth.astype(th_w.dtype),
+            jnp.zeros_like(cmask),  # boolean-derived, non-differentiable
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def sparse_cross_2dna_pallas_vjp(mod, t: int, Lc: int):
+    """Differentiable cross-2DNA op ``f(p_sub, q, k, v, k_bos, v_bos,
+    cmask=None)``.
+
+    q: (b, h, t, d) pre-scaled non-bos video queries; k/v: (b, h, Lc, d)
+    context; k_bos/v_bos: the broadcast null k/v (the bos *query* row stays
+    on the XLA path); cmask: optional (b, Lc) bool runtime context mask
+    (classifier-free-guidance cond dropout / padded sketch frames), folded
+    in as an additive -1e30 tensor. Requires HW % 128 == 0, Lc a whole
+    number of context frames, and no attention dropout."""
+    cache_key = ("cross", mod, t, Lc)
+    if cache_key in _VJP_CACHE:
+        return _VJP_CACHE[cache_key]
+
+    core = _cross_core_op(mod, t, Lc)
+
+    def op(p_sub, q, k, v, k_bos, v_bos, cmask=None):
+        d_orig = q.shape[-1]
+        geo = _cross_geometry(mod, t, Lc, d_orig)
+        total = geo["F"] * geo["HW"]
+        cbias = jnp.asarray(
+            _cross_mask_np(mod.image_size, mod.kernel_size, mod.dilation)
+        )[None, None]  # (1, 1, HW, HW) — one shared tap
+        th_w = p_sub["talking_heads"].astype(jnp.float32)
+        if cmask is None:
+            cm = jnp.zeros((q.shape[0], Lc), jnp.float32)
+        else:
+            cm = jnp.where(cmask, 0.0, -1e30).astype(jnp.float32)
+        if t < total:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, total - t), (0, 0)))
+        q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
+        out = core(q, k, v, k_bos, v_bos, cbias, th_w, cm)
+        return out[:, :, :t, :d_orig]
+
     _VJP_CACHE[cache_key] = op
     return op

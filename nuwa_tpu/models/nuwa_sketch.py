@@ -53,6 +53,7 @@ class NUWASketch(Module):
     shift_video_tokens: bool = True
     cross_2dna_kernel_size: int = 3
     cross_2dna_dilation: int | Tuple[int, ...] = 1
+    cross_2dna_backend: str = "auto"
     sparse_3dna_kernel_size: int | Tuple[int, int, int] = 3
     sparse_3dna_dilation: int | Tuple[int, ...] = 1
     sparse_3dna_query_num_frames_chunk: Optional[int] = None
@@ -127,6 +128,7 @@ class NUWASketch(Module):
             cross_2dna_image_size=self.video_fmap_size,
             cross_2dna_kernel_size=self.cross_2dna_kernel_size,
             cross_2dna_dilations=self._dils(self.cross_2dna_dilation),
+            cross_2dna_backend=self.cross_2dna_backend,
             attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout,
             ff_chunk_size=self.ff_chunk_size,

@@ -821,12 +821,16 @@ class SparseCross2DNA(Module):
     dropout: float = 0.0
     kernel_size: int = 3
     dilation: int = 1
-    # 'dense' computes masked dense scores over the whole (small) context —
-    # pure MXU work, no gathers/transposes; 'gather' builds per-query
-    # neighborhoods (useful-FLOPs-only, but overhead-bound on TPU — see
-    # scripts/bench_cross_2dna.py). 'auto' = dense while the context fits a
-    # dense score tile.
-    backend: str = "auto"  # 'auto' | 'dense' | 'gather'
+    # 'pallas': the fused whole-frame kernel in fixed-taps mode (context
+    # frames in VMEM, one score/softmax/mix/PV pass — the fast path);
+    # 'gather' builds per-query neighborhoods (useful-FLOPs-only but
+    # overhead-bound on TPU); 'dense' does masked dense scores over the
+    # whole context in XLA (measured 0.87-0.98x vs gather on chip — kept as
+    # an oracle; see scripts/bench_cross_2dna.py). 'auto' = pallas on TPU
+    # when eligible (HW % 128 == 0, whole context frames, no dropout, no
+    # runtime context mask), else gather.
+    backend: str = "auto"  # 'auto' | 'pallas' | 'dense' | 'gather'
+    use_pallas: bool = False  # force the kernel (tests/interpret mode)
 
     @property
     def inner_dim(self):
@@ -857,6 +861,7 @@ class SparseCross2DNA(Module):
         context_len = context.shape[1]
         num_ctx_frames = context_len // tokens_per_frame
 
+        mask_provided = context_mask is not None
         if context_mask is None:
             context_mask = jnp.ones((b, context_len), dtype=bool)
 
@@ -885,6 +890,28 @@ class SparseCross2DNA(Module):
             return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out_bos))
         q = q[:, :, 1:]
 
+        # Mosaic lane rule: the (1, h, HW) lse block needs HW % 128 == 0 in
+        # compiled mode only (interpret mode on CPU has no such limit). A
+        # runtime context mask (CFG cond dropout / padded sketch frames)
+        # rides into the kernel as an additive (b, Lc) tensor.
+        on_tpu = jax.default_backend() == "tpu"
+        pallas_ok = (
+            (self.use_pallas or (self.backend in ("auto", "pallas") and on_tpu))
+            and (tokens_per_frame % 128 == 0 or not on_tpu)
+            and context_len % tokens_per_frame == 0
+            and self.dropout == 0.0
+        )
+        if pallas_ok:
+            from .kernels.nda_pallas import sparse_cross_2dna_pallas_vjp
+
+            op = sparse_cross_2dna_pallas_vjp(self, t, context_len)
+            out = op(
+                {"talking_heads": p["talking_heads"]}, q, k, v, null_k, null_v,
+                cmask=context_mask if mask_provided else None,
+            )
+            out = jnp.concatenate([out_bos, out.astype(out_bos.dtype)], axis=2)
+            return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))
+
         # --- spatial neighborhood table over one frame (centered)
         idx_np, valid_np = build_nda_indices(
             (fmap, fmap),
@@ -893,9 +920,7 @@ class SparseCross2DNA(Module):
             ("centered", "centered"),
         )  # (HW, Kn)
 
-        use_dense = self.backend == "dense" or (
-            self.backend == "auto" and context_len <= 4096
-        )
+        use_dense = self.backend == "dense"
         if use_dense:
             out = self._dense_attend(
                 p, q, k, v, null_k, null_v, idx_np, valid_np,
@@ -956,10 +981,11 @@ class SparseCross2DNA(Module):
                       context_mask, hw, num_ctx_frames, t, key):
         """Masked dense scores over the whole context: one (HW, Fc·HW) static
         neighborhood mask shared by every query frame — all-MXU score/PV
-        matmuls, no gathers or 6-D transposes. The context is small (one or a
-        few sketch frames), so the ~HW/Kn score overcompute is dwarfed by the
-        gather path's per-op overheads (measured on chip: 2.33 ms gather vs
-        dense at the sketch config, scripts/bench_cross_2dna.py)."""
+        matmuls, no gathers or 6-D transposes. Kept as a selectable oracle:
+        on chip it measured 0.87-0.98x vs the gather path (the ~HW/Kn score
+        overcompute costs more than the gathers it removes;
+        scripts/bench_cross_2dna.py) — the fused Pallas fixed-taps kernel is
+        the fast path."""
         b = q.shape[0]
         h, dh = self.heads, self.dim_head
         neg = max_neg_value(jnp.float32)

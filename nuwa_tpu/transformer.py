@@ -147,6 +147,7 @@ def _build_layer_menu(
     cross_2dna_image_size,
     cross_2dna_kernel_size,
     cross_2dna_dilations,
+    cross_2dna_backend,
     sparse_3dna_attn,
     sparse_3dna_kernel_size,
     sparse_3dna_video_shape,
@@ -215,6 +216,7 @@ def _build_layer_menu(
                     image_size=cross_2dna_image_size,
                     kernel_size=cross_2dna_kernel_size,
                     dilation=dilation,
+                    backend=cross_2dna_backend,
                 )
             else:
                 cross_attn = Attention(
@@ -245,6 +247,7 @@ _COMMON_DEFAULTS = dict(
     cross_2dna_image_size=None,
     cross_2dna_kernel_size=3,
     cross_2dna_dilations=(1,),
+    cross_2dna_backend="auto",
     sparse_3dna_attn=False,
     sparse_3dna_kernel_size=3,
     sparse_3dna_video_shape=None,
@@ -275,6 +278,7 @@ class Transformer(Module):
     cross_2dna_image_size: Optional[int] = None
     cross_2dna_kernel_size: int = 3
     cross_2dna_dilations: Tuple[int, ...] = (1,)
+    cross_2dna_backend: str = "auto"
     sparse_3dna_attn: bool = False
     sparse_3dna_kernel_size: int | Tuple[int, int, int] = 3
     sparse_3dna_video_shape: Optional[Tuple[int, int, int]] = None
@@ -305,6 +309,7 @@ class Transformer(Module):
             cross_2dna_image_size=self.cross_2dna_image_size,
             cross_2dna_kernel_size=self.cross_2dna_kernel_size,
             cross_2dna_dilations=self.cross_2dna_dilations,
+            cross_2dna_backend=self.cross_2dna_backend,
             sparse_3dna_attn=self.sparse_3dna_attn,
             sparse_3dna_kernel_size=self.sparse_3dna_kernel_size,
             sparse_3dna_video_shape=self.sparse_3dna_video_shape,

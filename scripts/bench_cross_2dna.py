@@ -61,6 +61,7 @@ def main():
         dim_head=args.dim_head, kernel_size=3, dilation=1, backend="gather",
     )
     cross_d = cross.replace(backend="dense")
+    cross_p = cross.replace(backend="pallas", use_pallas=True)
     self3d = Sparse3DNA(
         dim=args.dim, video_shape=(args.frames, args.fmap, args.fmap),
         kernel_size=(3, 3, 3), dilation=1, heads=args.heads,
@@ -91,6 +92,15 @@ def main():
     print(f"cross dense fwd      : {dt*1e3:8.2f} ms", flush=True)
     dt_d, _ = time_fn(lambda p, x, c: g_dense(p, x, c)["to_q"]["w"], pc, x, ctx)
     print(f"cross dense fwd+bwd  : {dt_d*1e3:8.2f} ms ({dt_c/dt_d:.2f}x vs gather)", flush=True)
+
+    f_pl = jax.jit(lambda p, x, c: cross_p(p, x, context=c))
+    g_pl = jax.jit(jax.grad(lambda p, x, c: jnp.sum(cross_p(p, x, context=c) * w)))
+    dp = jax.jit(lambda p, x, c: jnp.max(jnp.abs(f_cross(p, x, c) - f_pl(p, x, c))))
+    print(f"pallas-vs-gather max|diff| = {float(np.asarray(dp(pc, x, ctx))):.3e}", flush=True)
+    dt, _ = time_fn(f_pl, pc, x, ctx)
+    print(f"cross pallas fwd     : {dt*1e3:8.2f} ms", flush=True)
+    dt_p, _ = time_fn(lambda p, x, c: g_pl(p, x, c)["to_q"]["w"], pc, x, ctx)
+    print(f"cross pallas fwd+bwd : {dt_p*1e3:8.2f} ms ({dt_c/dt_p:.2f}x vs gather)", flush=True)
     dt, _ = time_fn(f_self, ps, x)
     print(f"self-3DNA fwd        : {dt*1e3:8.2f} ms", flush=True)
     dt_s, _ = time_fn(lambda p, x: g_self(p, x)["to_q"]["w"], ps, x)

@@ -448,3 +448,87 @@ def test_pallas_gradients_match_xla_path():
         g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize(
+    "Fc,ragged",
+    [(1, False), (2, True)],
+    ids=["ctx1", "ctx2-ragged"],
+)
+def test_pallas_cross_2dna_forward(Fc, ragged):
+    """SparseCross2DNA on the whole-frame kernel in fixed-taps mode (tap j
+    IS context frame j for every query frame) vs the XLA gather path."""
+    from nuwa_tpu.nda import SparseCross2DNA
+
+    mod = SparseCross2DNA(
+        dim=16, image_size=4, heads=2, dim_head=8, kernel_size=3,
+        backend="gather",
+    )
+    p = mod.init(KEY)
+    t = 3 * 16 - (5 if ragged else 0)
+    x = jax.random.normal(KEY, (2, 1 + t, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, Fc * 16, 16))
+    ref = np.asarray(mod(p, x, context=ctx))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod.replace(use_pallas=True)(p, x, context=ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_cross_2dna_backward_exact_with_fp32_cache():
+    """Cross flash backward (dq/dk/dv through to_kv, null-kv, talking heads)
+    is exact vs the gather oracle when the score cache is fp32."""
+    import nuwa_tpu.kernels.nda_pallas as K
+    from nuwa_tpu.nda import SparseCross2DNA
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = SparseCross2DNA(
+            dim=16, image_size=4, heads=4, dim_head=8, kernel_size=3,
+            dilation=2, backend="gather",
+        )
+        mod_pl = mod.replace(use_pallas=True)
+        p = mod.init(KEY)
+        t = 2 * 16 + 7  # ragged query tail
+        x = jax.random.normal(KEY, (2, 1 + t, 16))
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 2 * 16, 16))
+        w = jax.random.normal(jax.random.PRNGKey(8), (2, 1 + t, 16))
+
+        def loss(m, p, x, c):
+            return jnp.sum(m(p, x, context=c) * w)
+
+        g_ref = jax.grad(loss, argnums=(1, 2, 3))(mod, p, x, ctx)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss, argnums=(1, 2, 3))(mod_pl, p, x, ctx)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            )
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
+def test_pallas_cross_2dna_runtime_context_mask():
+    """The kernel honors a runtime (b, Lc) context mask — including a fully
+    masked CFG-uncond row — and matches the gather path."""
+    from nuwa_tpu.nda import SparseCross2DNA
+
+    mod = SparseCross2DNA(
+        dim=16, image_size=4, heads=2, dim_head=8, backend="gather",
+    )
+    mod_pl = mod.replace(use_pallas=True)
+    p = mod.init(KEY)
+    x = jax.random.normal(KEY, (2, 1 + 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16))
+    cmask = jnp.array([[True] * 10 + [False] * 6, [False] * 16])
+    ref = np.asarray(mod(p, x, context=ctx, context_mask=cmask))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod_pl(p, x, context=ctx, context_mask=cmask))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    # masked keys truly ignored on the kernel path
+    ctx2 = ctx.at[:, 12].set(55.0)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = np.asarray(mod_pl(p, x, context=ctx2, context_mask=cmask))
+    np.testing.assert_allclose(out[:1], out2[:1], atol=1e-5)
