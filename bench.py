@@ -27,6 +27,30 @@ def _sync(x):
     return float(np.asarray(x))
 
 
+def _rate(dispatch, k_lo=2, k_hi=10, reps=2):
+    """Seconds per dispatch with the tunnel round trip cancelled.
+
+    A single scalar fetch through the axon relay costs ~29 ms (measured;
+    docs/BENCHMARKS.md "timing methodology"), which used to be charged to
+    every per-step number. Dispatches pipeline on the device, so timing
+    k_hi and k_lo chained dispatches (one sync each) and dividing the
+    difference removes the constant exactly. ``dispatch()`` must issue one
+    async step and return an array to sync on."""
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = dispatch()
+        _sync(jnp.sum(out.astype(jnp.float32)) if hasattr(out, "astype") else out)
+        return time.perf_counter() - t0
+
+    run(1)  # warm
+    lo = min(run(k_lo) for _ in range(reps))
+    hi = min(run(k_hi) for _ in range(reps))
+    return max((hi - lo) / (k_hi - k_lo), 1e-9)
+
+
 def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
                     text_len=32, batch=1, seed=0):
     """Tokens/sec for autoregressive video decode (jitted lax.scan loop)."""
@@ -68,12 +92,11 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
     # compile
     _sync(gen(params, text, jax.random.PRNGKey(0)))
     # timed runs
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(gen(params, text, jax.random.PRNGKey(i + 1)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    counter = iter(range(1, 10_000))
+    dt = _rate(
+        lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
+        k_lo=1, k_hi=5,
+    )
     return {
         "tokens_per_sec": batch * total_tokens / dt,
         "total_tokens": total_tokens,
@@ -112,12 +135,7 @@ def bench_vqvae(image_size=256, dim=128, num_layers=4, batch=32, seed=0):
 
     fn = jax.jit(roundtrip)
     _sync(fn(p, s, img))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(fn(p, s, img))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = _rate(lambda: fn(p, s, img))
     return {"frames_per_sec": batch / dt, "roundtrip_seconds": dt}
 
 
@@ -208,15 +226,14 @@ def bench_train_step(frames=10, fmap=16, dim=512, depth=6, heads=8,
     jstep = jax.jit(step, donate_argnums=(0, 1))
     compiled = jstep.lower(params, opt, key).compile()
     flops = _flops_of(compiled)
-    p2, opt2, key, loss = compiled(params, opt, key)
-    _sync(loss)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        p2, opt2, key, loss = compiled(p2, opt2, key)
-        _sync(loss)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    state = list(compiled(params, opt, key))
+    _sync(state[-1])
+
+    def dispatch():
+        state[:] = compiled(*state[:-1])
+        return state[-1]
+
+    dt = _rate(dispatch)
     out = {
         "ms_per_step": dt * 1e3,
         "train_tokens_per_sec": batch * tokens / dt,
@@ -300,15 +317,14 @@ def bench_dual_train_step(frames=4, fmap=8, dim=512, depth=12, heads=8,
 
     jstep = jax.jit(step, donate_argnums=(0, 1))
     key = jax.random.PRNGKey(1)
-    p2, opt2, key, loss = jstep(params, opt, key)
-    _sync(loss)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        p2, opt2, key, loss = jstep(p2, opt2, key)
-        _sync(loss)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    state = list(jstep(params, opt, key))
+    _sync(state[-1])
+
+    def dispatch():
+        state[:] = jstep(*state[:-1])
+        return state[-1]
+
+    dt = _rate(dispatch)
     return {
         "ms_per_step": dt * 1e3,
         "train_tokens_per_sec": batch * (vtok + atok) / dt,
@@ -342,12 +358,11 @@ def bench_ar_decode_int8(frames=4, fmap=8, dim=512, depth=6, heads=8,
         )
     )
     _sync(gen(params, text, jax.random.PRNGKey(0)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(gen(params, text, jax.random.PRNGKey(i + 1)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    counter = iter(range(1, 10_000))
+    dt = _rate(
+        lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
+        k_lo=1, k_hi=5,
+    )
     return {"tokens_per_sec": batch * total_tokens / dt}
 
 
