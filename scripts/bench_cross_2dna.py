@@ -29,13 +29,11 @@ def _sync(x):
 
 
 def time_fn(fn, *args, iters=20, warmup=3):
+    from nuwa_tpu.utils.timing import device_rate
+
     for _ in range(warmup):
-        _sync(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    s = _sync(out)
-    return (time.perf_counter() - t0) / iters, s
+        s = _sync(fn(*args))
+    return device_rate(lambda: fn(*args), k_lo=4, k_hi=20), s
 
 
 def main():

@@ -120,15 +120,16 @@ def main():
     except Exception as e:
         print("memory_analysis unavailable:", repr(e)[:120], flush=True)
 
-    p2, opt2, key, loss = compiled(params, opt, jax.random.PRNGKey(1))
-    _sync(loss)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        p2, opt2, key, loss = compiled(p2, opt2, key)
-        _sync(loss)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    from nuwa_tpu.utils.timing import device_rate
+
+    state = list(compiled(params, opt, jax.random.PRNGKey(1)))
+    _sync(state[-1])
+
+    def dispatch():
+        state[:] = compiled(*state[:-1])
+        return state[-1]
+
+    dt = device_rate(dispatch, k_lo=1, k_hi=5)
     print(
         f"depth-{args.depth} dual train step: {dt*1e3:.1f} ms/step, "
         f"{b*(vtok+atok)/dt:.0f} tok/s (video {vtok} + audio {atok} tokens, "

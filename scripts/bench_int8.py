@@ -46,13 +46,14 @@ def bench(dim, batch, int8, frames=4, fmap=8, depth=6):
                            cond_scale=2.0, method="cached")
         )
     )
+    from nuwa_tpu.utils.timing import device_rate
+
     _sync(gen(params, text, jax.random.PRNGKey(0)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _sync(gen(params, text, jax.random.PRNGKey(i + 1)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    counter = iter(range(1, 10_000))
+    dt = device_rate(
+        lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
+        k_lo=1, k_hi=3,
+    )
     return batch * total / dt
 
 

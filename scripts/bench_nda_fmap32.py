@@ -72,15 +72,17 @@ def main(frames=4, fmap=32, dim=512, heads=8, dim_head=64, batch=1):
             updates, opt = tx.update(grads, opt, pp)
             return optax.apply_updates(pp, updates), opt, l
 
-        pm, opt, l = tstep(pm, opt)
-        _sync(l)
-        times = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            pm, opt, l = tstep(pm, opt)
-            _sync(l)
-            times.append(time.perf_counter() - t0)
-        print(json.dumps({"backend": name, "train_ms": round(min(times) * 1e3, 2)}),
+        from nuwa_tpu.utils.timing import device_rate
+
+        state = list(tstep(pm, opt))
+        _sync(state[-1])
+
+        def dispatch():
+            state[:] = tstep(state[0], state[1])
+            return state[-1]
+
+        dt = device_rate(dispatch, k_lo=1, k_hi=5)
+        print(json.dumps({"backend": name, "train_ms": round(dt * 1e3, 2)}),
               flush=True)
 
     # timing (bf16 activations, fwd only)
@@ -88,13 +90,11 @@ def main(frames=4, fmap=32, dim=512, heads=8, dim_head=64, batch=1):
     for name, fn in (("dense_chunked", f_xla), ("pallas_rb", f_pl)):
         fnb = jax.jit(lambda pp, xx, _f=(mod_xla if name == "dense_chunked" else mod_pl):
                       jnp.sum(_f(pp, xx).astype(jnp.float32)))
+        from nuwa_tpu.utils.timing import device_rate
+
         _sync(fnb(p, xb))
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _sync(fnb(p, xb))
-            times.append(time.perf_counter() - t0)
-        print(json.dumps({"backend": name, "fwd_ms": round(min(times) * 1e3, 2)}), flush=True)
+        dt = device_rate(lambda: fnb(p, xb), k_lo=1, k_hi=5)
+        print(json.dumps({"backend": name, "fwd_ms": round(dt * 1e3, 2)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ import optax
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from nuwa_tpu.utils.timing import device_rate  # noqa: E402
+
 from nuwa_tpu.transformer import Transformer
 
 
@@ -58,12 +60,7 @@ def bench_backend(name, *, batch=2, frames=8, fmap=16, steps=5, train=True):
     if not train:
         fn = jax.jit(lambda p, x: jnp.sum(model(p, x).astype(jnp.float32)))
         _sync(fn(params, x))
-        times = []
-        for _ in range(steps):
-            t0 = time.perf_counter()
-            _sync(fn(params, x))
-            times.append(time.perf_counter() - t0)
-        return min(times) * 1e3
+        return device_rate(lambda: fn(params, x)) * 1e3
 
     tx = optax.adamw(1e-4)
     opt = tx.init(params)
@@ -79,15 +76,14 @@ def bench_backend(name, *, batch=2, frames=8, fmap=16, steps=5, train=True):
         p = optax.apply_updates(p, updates)
         return p, opt, loss
 
-    p2, opt2, loss = step(params, opt, x)
-    _sync(loss)
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        p2, opt2, loss = step(p2, opt2, x)
-        _sync(loss)
-        times.append(time.perf_counter() - t0)
-    return min(times) * 1e3
+    state = list(step(params, opt, x))
+    _sync(state[-1])
+
+    def dispatch():
+        state[:] = step(state[0], state[1], x)
+        return state[-1]
+
+    return device_rate(dispatch) * 1e3
 
 
 def parity_check(frames=4, fmap=16, batch=1):

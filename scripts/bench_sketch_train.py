@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from nuwa_tpu.utils.timing import device_rate  # noqa: E402
+
 
 def _sync(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
@@ -77,13 +79,11 @@ def main():
         step = jax.jit(jax.grad(loss_fn))
         g = step(params, jax.random.PRNGKey(1))
         _sync(g["video_bos"])
-        times = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            g = step(params, jax.random.PRNGKey(i))
-            _sync(g["video_bos"])
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        counter = iter(range(2, 10_000))
+        dt = device_rate(
+            lambda: step(params, jax.random.PRNGKey(next(counter)))["video_bos"],
+            k_lo=1, k_hi=5,
+        )
         results[backend] = dt
         print(
             f"cross backend {backend:6s}: {dt*1e3:8.2f} ms/step "

@@ -26,15 +26,14 @@ def _sync(x):
 
 
 def time_compiled(fn, args, iters=4):
+    from nuwa_tpu.utils.timing import device_rate
+
     out = fn(*args)
     _sync(out[-1] if isinstance(out, tuple) else out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out[-1] if isinstance(out, tuple) else out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return device_rate(
+        lambda: (lambda o: o[-1] if isinstance(o, tuple) else o)(fn(*args)),
+        k_lo=1, k_hi=5,
+    )
 
 
 def make_model(args, **over):
@@ -103,16 +102,17 @@ def step_time(model, batch, *, grad=True, optimizer=True, loss_mode="ce"):
 
         return _o.apply_updates(p, updates), opt, key, loss
 
+    from nuwa_tpu.utils.timing import device_rate
+
     jstep = jax.jit(step, donate_argnums=(0, 1))
-    p2, opt2, key, loss = jstep(params, opt, jax.random.PRNGKey(1))
-    _sync(loss)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        p2, opt2, key, loss = jstep(p2, opt2, key)
-        _sync(loss)
-        times.append(time.perf_counter() - t0)
-    return min(times), tokens
+    state = list(jstep(params, opt, jax.random.PRNGKey(1)))
+    _sync(state[-1])
+
+    def dispatch():
+        state[:] = jstep(*state[:-1])
+        return state[-1]
+
+    return device_rate(dispatch, k_lo=1, k_hi=5), tokens
 
 
 def analytic_flops(args, batch):

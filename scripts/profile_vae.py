@@ -24,15 +24,11 @@ def _sync(x):
 
 
 def time_fn(fn, *args, iters=5, warmup=2):
+    from nuwa_tpu.utils.timing import device_rate
+
     for _ in range(warmup):
         _sync(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return device_rate(lambda: fn(*args))
 
 
 def main():

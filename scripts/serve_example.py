@@ -78,10 +78,14 @@ def main():
     # compile + warm
     idx = gen(params, text, jax.random.PRNGKey(1))
     _ = float(np.asarray(jnp.sum(idx)))
-    t0 = time.perf_counter()
-    idx = gen(params, text, jax.random.PRNGKey(2))
-    _ = float(np.asarray(jnp.sum(idx)))
-    dt = time.perf_counter() - t0
+    from nuwa_tpu.utils.timing import device_rate
+
+    counter = iter(range(2, 10_000))
+    dt = device_rate(
+        lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
+        k_lo=1, k_hi=3,
+    )
+    idx = gen(params, text, jax.random.PRNGKey(0))
     total = args.batch * args.frames * model.tokens_per_frame
     print(json.dumps({
         "batch": args.batch,

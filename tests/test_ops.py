@@ -208,3 +208,22 @@ def test_padding_helpers():
     assert calc_same_padding(5, 2) == 4
     assert padding_to_multiple_of(7, 4) == 1
     assert padding_to_multiple_of(8, 4) == 0
+
+
+def test_device_rate_two_point_timing():
+    """device_rate (timing through a high-latency sync path) returns a
+    positive per-dispatch rate and calls dispatch the expected number of
+    times (1 warm + reps*(k_lo + k_hi))."""
+    from nuwa_tpu.utils.timing import device_rate
+
+    calls = []
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones(())
+
+    def dispatch():
+        calls.append(1)
+        return f(x)
+
+    r = device_rate(dispatch, k_lo=1, k_hi=3, reps=2)
+    assert r > 0
+    assert len(calls) == 1 + 2 * (1 + 3)
