@@ -984,30 +984,36 @@ def _bwd_kv_kernel(
     dk_s[...] = jnp.zeros(dk_s.shape, dk_s.dtype)
     dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
 
-    def accum(fi, j):
-            start = fi * HW
-            cps = [
-                pltpu.make_async_copy(
-                    q_hbm.at[bi, :, pl.ds(start, HW), :], qbuf, sem.at[0]
-                ),
-                pltpu.make_async_copy(
-                    g_hbm.at[bi, :, pl.ds(start, HW), :], gbuf, sem.at[1]
-                ),
-                pltpu.make_async_copy(
-                    lse_hbm.at[bi, :, pl.ds(start, HW)], lsebuf, sem.at[2]
-                ),
-                pltpu.make_async_copy(
-                    rho_hbm.at[bi, :, pl.ds(start, HW)], rhobuf, sem.at[3]
-                ),
-            ]
-            for cp in cps:
-                cp.start()
+    # double-buffered rounds: round r lands in slot r % 2 so round r+1's
+    # DMAs overlap round r's matmuls instead of a serial start->wait chain
+    def round_cps(fi, slot):
+        start = fi * HW
+        return [
+            pltpu.make_async_copy(
+                q_hbm.at[bi, :, pl.ds(start, HW), :], qbuf.at[slot],
+                sem.at[4 * slot + 0],
+            ),
+            pltpu.make_async_copy(
+                g_hbm.at[bi, :, pl.ds(start, HW), :], gbuf.at[slot],
+                sem.at[4 * slot + 1],
+            ),
+            pltpu.make_async_copy(
+                lse_hbm.at[bi, :, pl.ds(start, HW)], lsebuf.at[slot],
+                sem.at[4 * slot + 2],
+            ),
+            pltpu.make_async_copy(
+                rho_hbm.at[bi, :, pl.ds(start, HW)], rhobuf.at[slot],
+                sem.at[4 * slot + 3],
+            ),
+        ]
+
+    def accum(fi, j, cps, slot):
             for cp in cps:
                 cp.wait()
-            qm = qbuf[...].astype(f32)
-            gm = gbuf[...].astype(f32)
-            lse = lsebuf[...].astype(f32)
-            rho = rhobuf[...].astype(f32)
+            qm = qbuf[slot].astype(f32)
+            gm = gbuf[slot].astype(f32)
+            lse = lsebuf[slot].astype(f32)
+            rho = rhobuf[slot].astype(f32)
 
             s = jax.lax.dot_general(
                 qm, kmat, (((2,), (2,)), ((0,), (0,))),
@@ -1041,17 +1047,39 @@ def _bwd_kv_kernel(
     if fixed_taps:
         # cross attention: EVERY query frame reads this key (context) frame
         # with the one shared bias tap (dropout is gated off on this path)
-        for fi in range(num_f):
-            accum(fi, 0)
+        rounds = [(fi, 0, None) for fi in range(num_f)]
     else:
+        rounds = []
         for j in range(Kf):
             # query frame whose tap j reads key frame gk
             fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
-            cond = jnp.logical_and(fi >= 0, fi < num_f)
+            rounds.append((fi, j, jnp.logical_and(fi >= 0, fi < num_f)))
 
-            @pl.when(cond)
-            def _(j=j, fi=fi):
-                accum(fi, j)
+    cps_list = [round_cps(fi, r % 2) for r, (fi, _, _) in enumerate(rounds)]
+
+    def guarded(cond, fn):
+        if cond is None:
+            fn()
+        else:
+            pl.when(cond)(fn)
+
+    def start_round(r):
+        def go():
+            for cp in cps_list[r]:
+                cp.start()
+
+        return go
+
+    if rounds:
+        guarded(rounds[0][2], start_round(0))
+    for r, (fi, j, cond) in enumerate(rounds):
+        if r + 1 < len(rounds):
+            guarded(rounds[r + 1][2], start_round(r + 1))
+
+        def compute(fi=fi, j=j, r=r):
+            accum(fi, j, cps_list[r], r % 2)
+
+        guarded(cond, compute)
 
     dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
     dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
@@ -1328,13 +1356,13 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
             jax.ShapeDtypeStruct((b, h, Fk * HW, d), q.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, HW, d), q.dtype),            # qbuf
-            pltpu.VMEM((h, HW, d), q.dtype),            # gbuf
-            pltpu.VMEM((h, HW), jnp.float32),           # lsebuf
-            pltpu.VMEM((h, HW), jnp.float32),           # rhobuf
+            pltpu.VMEM((2, h, HW, d), q.dtype),         # qbuf (double-buffered)
+            pltpu.VMEM((2, h, HW, d), q.dtype),         # gbuf
+            pltpu.VMEM((2, h, HW), jnp.float32),        # lsebuf
+            pltpu.VMEM((2, h, HW), jnp.float32),        # rhobuf
             pltpu.VMEM((h, HW, d), jnp.float32),        # dk accumulator
             pltpu.VMEM((h, HW, d), jnp.float32),        # dv accumulator
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
