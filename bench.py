@@ -27,28 +27,9 @@ def _sync(x):
     return float(np.asarray(x))
 
 
-def _rate(dispatch, k_lo=2, k_hi=10, reps=2):
-    """Seconds per dispatch with the tunnel round trip cancelled.
-
-    A single scalar fetch through the axon relay costs ~29 ms (measured;
-    docs/BENCHMARKS.md "timing methodology"), which used to be charged to
-    every per-step number. Dispatches pipeline on the device, so timing
-    k_hi and k_lo chained dispatches (one sync each) and dividing the
-    difference removes the constant exactly. ``dispatch()`` must issue one
-    async step and return an array to sync on."""
-
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = dispatch()
-        _sync(jnp.sum(out.astype(jnp.float32)) if hasattr(out, "astype") else out)
-        return time.perf_counter() - t0
-
-    run(1)  # warm
-    lo = min(run(k_lo) for _ in range(reps))
-    hi = min(run(k_hi) for _ in range(reps))
-    return max((hi - lo) / (k_hi - k_lo), 1e-9)
+from nuwa_tpu.utils.timing import device_rate as _rate  # noqa: E402
+# two-point rate: cancels the ~29 ms relay round trip charged to every
+# per-step number before round 3 (docs/BENCHMARKS.md "timing methodology")
 
 
 def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,

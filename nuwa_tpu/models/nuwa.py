@@ -26,6 +26,51 @@ from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
 from .common import ar_decode_loop, cached_ar_rollout, long_frame_decoder
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _long_frame_full_fn(model, win, W, b, use_cfg, filter_thres, temperature,
+                        cond_scale):
+    """Jitted reference-style full-re-forward frame decoder (the sliding
+    window oracle), cached per (model, shapes) like ``long_frame_decoder``
+    so repeated/timed calls skip retracing."""
+    from ..ops.sampling import gumbel_sample, top_k_filter
+
+    tpf = model.tokens_per_frame
+
+    @jax.jit
+    def decode_frame(p, ctx, cmask, window_prev, key):
+        """window_prev: (b, W) prior tokens; re-runs the full decoder per
+        token (reference nuwa_pytorch.py:1874-1908 pattern)."""
+        window = jnp.concatenate(
+            [window_prev, jnp.zeros((b, tpf), jnp.int32)], axis=1
+        )
+
+        def step(carry, t):
+            window, key = carry
+            key, sub = jax.random.split(key)
+            inp = window[:, : win - 1]
+            i = W + t
+            if use_cfg:
+                logits2 = model._decode_logits(
+                    p, jnp.concatenate([inp, inp], axis=0), ctx, cmask
+                )
+                row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
+                logits = row[b:] + (row[:b] - row[b:]) * cond_scale
+            else:
+                lg = model._decode_logits(p, inp, ctx, cmask)
+                logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
+            filtered = top_k_filter(logits, thres=filter_thres)
+            sample = gumbel_sample(sub, filtered, temperature=temperature)
+            window = window.at[:, i].set(sample.astype(jnp.int32))
+            return (window, key), sample.astype(jnp.int32)
+
+        (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
+        return frame.T  # (b, tpf)
+
+    return decode_frame
+
 
 def cross_entropy(logits, targets):
     """Mean token cross-entropy (fp32)."""
@@ -409,9 +454,8 @@ class NUWA(Module):
         if use_cfg:
             ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
             cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
-            eb = 2 * b
         else:
-            ctx, cmask, eb = text_embeds, text_mask, b
+            ctx, cmask = text_embeds, text_mask
 
         # first maxf frames with the standard path
         key, sub = jax.random.split(key)
@@ -438,36 +482,12 @@ class NUWA(Module):
                 )
 
         else:
-            from ..ops.sampling import gumbel_sample, top_k_filter
+            fr_full = _long_frame_full_fn(
+                self, win, W, b, use_cfg, filter_thres, temperature, cond_scale
+            )
 
-            @jax.jit
-            def decode_frame(window_prev, key):
-                """window_prev: (b, W) prior tokens (full re-forward oracle)."""
-                window = jnp.concatenate(
-                    [window_prev, jnp.zeros((b, tpf), jnp.int32)], axis=1
-                )
-
-                def step(carry, t):
-                    window, key = carry
-                    key, sub = jax.random.split(key)
-                    inp = window[:, : win - 1]
-                    i = W + t
-                    if use_cfg:
-                        logits2 = self._decode_logits(
-                            p, jnp.concatenate([inp, inp], axis=0), ctx, cmask
-                        )
-                        row = jax.lax.dynamic_index_in_dim(logits2, i, 1, keepdims=False)
-                        logits = row[b:] + (row[:b] - row[b:]) * cond_scale
-                    else:
-                        lg = self._decode_logits(p, inp, text_embeds, text_mask)
-                        logits = jax.lax.dynamic_index_in_dim(lg, i, 1, keepdims=False)
-                    filtered = top_k_filter(logits, thres=filter_thres)
-                    sample = gumbel_sample(sub, filtered, temperature=temperature)
-                    window = window.at[:, i].set(sample.astype(jnp.int32))
-                    return (window, key), sample.astype(jnp.int32)
-
-                (window, _), frame = jax.lax.scan(step, (window, key), jnp.arange(tpf))
-                return frame.T  # (b, tpf)
+            def decode_frame(window, key):
+                return fr_full(p, ctx, cmask, window, key)
 
         for _ in range(num_frames - maxf):
             key, sub = jax.random.split(key)

@@ -313,9 +313,8 @@ class NUWASketch(Module):
             cmask = jnp.concatenate(
                 [context_mask, jnp.zeros_like(context_mask)], axis=0
             )
-            eb = 2 * b
         else:
-            ctx, cmask, eb = sketch_embeds, context_mask, b
+            ctx, cmask = sketch_embeds, context_mask
 
         key, sub = jax.random.split(key)
         indices = self.generate(

@@ -552,8 +552,11 @@ class NUWAVideoAudio(Module):
                 num_frames=num_frames, decode_video=decode_video,
                 decode_max_batchsize=decode_max_batchsize, method=method,
             )
-        assert num_frames * atpf <= self.num_audio_tokens, (
-            "audio pos-emb table too small for the requested rollout"
+        # the sliding window only ever indexes audio positions below
+        # maxf * atpf (window-relative), so the table bound does NOT grow
+        # with the requested rollout length
+        assert maxf * atpf <= self.num_audio_tokens, (
+            "audio pos-emb table too small for one window"
         )
 
         text_mask = text != 0
@@ -562,9 +565,8 @@ class NUWAVideoAudio(Module):
         if use_cfg:
             ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
             cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
-            eb = 2 * b
         else:
-            ctx, cmask, eb = text_embeds, text_mask, b
+            ctx, cmask = text_embeds, text_mask
 
         key, sub = jax.random.split(key)
         vidx, aidx = self.generate(

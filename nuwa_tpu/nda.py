@@ -732,9 +732,18 @@ class SparseCausal2DNA(Module):
         v_bos, v = v[:, :, :1], v[:, :, 1:]
 
         # fused Pallas path (timestep pseudo-frames, per-tap masks); same
-        # auto gating as Sparse3DNA; attention dropout runs in-kernel
+        # auto gating as Sparse3DNA; attention dropout runs in-kernel.
+        # The whole-frame kernel family is sized for HW <= 256: larger
+        # pseudo-frames (heights whose lcm with 128 is big, e.g. 5 -> 640)
+        # would blow the (kf, h, HW, HW) VMEM score buffers and do
+        # ~HW/(K*H) x overcompute — 'auto' falls back to gather there.
+        import math as _math
+
+        pseudo_hw = 128 * (self.height // _math.gcd(self.height, 128))
         want_pallas = self.use_pallas or (
-            self.backend == "auto" and jax.default_backend() == "tpu"
+            self.backend == "auto"
+            and jax.default_backend() == "tpu"
+            and pseudo_hw <= 256
         )
         if want_pallas:
             from .kernels.nda_pallas import sparse_2dna_pallas_vjp
@@ -822,13 +831,15 @@ class SparseCross2DNA(Module):
     kernel_size: int = 3
     dilation: int = 1
     # 'pallas': the fused whole-frame kernel in fixed-taps mode (context
-    # frames in VMEM, one score/softmax/mix/PV pass — the fast path);
-    # 'gather' builds per-query neighborhoods (useful-FLOPs-only but
-    # overhead-bound on TPU); 'dense' does masked dense scores over the
-    # whole context in XLA (measured 0.87-0.98x vs gather on chip — kept as
-    # an oracle; see scripts/bench_cross_2dna.py). 'auto' = pallas on TPU
-    # when eligible (HW % 128 == 0, whole context frames, no dropout, no
-    # runtime context mask), else gather.
+    # frames in VMEM, one score/softmax/mix/PV pass — the fast path; a
+    # runtime context mask rides in as an additive tensor, so CFG
+    # cond-dropout / padded sketch frames stay on the kernel); 'gather'
+    # builds per-query neighborhoods (useful-FLOPs-only but overhead-bound
+    # on TPU); 'dense' does masked dense scores over the whole context in
+    # XLA (measured ~1x vs gather on chip — kept as an oracle; see
+    # scripts/bench_cross_2dna.py). 'auto' = pallas on TPU when eligible
+    # (HW % 128 == 0, whole context frames, no attention dropout), else
+    # gather.
     backend: str = "auto"  # 'auto' | 'pallas' | 'dense' | 'gather'
     use_pallas: bool = False  # force the kernel (tests/interpret mode)
 

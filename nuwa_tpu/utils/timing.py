@@ -40,4 +40,16 @@ def device_rate(dispatch, k_lo: int = 2, k_hi: int = 10, reps: int = 2):
     run(1)  # warm
     lo = min(run(k_lo) for _ in range(reps))
     hi = min(run(k_hi) for _ in range(reps))
-    return max((hi - lo) / (k_hi - k_lo), 1e-9)
+    if hi <= lo:  # relay jitter swamped the signal — retry once, then fall
+        lo = min(lo, min(run(k_lo) for _ in range(reps)))
+        hi = min(hi, min(run(k_hi) for _ in range(reps)))
+    if hi <= lo:
+        import warnings
+
+        warnings.warn(
+            "device_rate: k_hi run was not slower than k_lo (relay jitter); "
+            "falling back to the amortized upper bound hi/k_hi",
+            stacklevel=2,
+        )
+        return hi / k_hi
+    return (hi - lo) / (k_hi - k_lo)

@@ -226,4 +226,5 @@ def test_device_rate_two_point_timing():
 
     r = device_rate(dispatch, k_lo=1, k_hi=3, reps=2)
     assert r > 0
-    assert len(calls) == 1 + 2 * (1 + 3)
+    # 1 warm + reps*(k_lo+k_hi), doubled if the jitter retry fired
+    assert len(calls) in (1 + 2 * (1 + 3), 1 + 4 * (1 + 3))
