@@ -570,3 +570,40 @@ def test_context_parallel_multihop_halo():
     ref = np.asarray(mod(p, x))
     out = np.asarray(context_parallel_sparse_3dna(mod, p, x, mesh, axis="data"))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_dual_tp_serving_decode_parity():
+    """NUWAVideoAudio cached decode under tensor parallelism (model=2,
+    data=4): TP-sharded params + batch-sharded text must sample the SAME
+    video and audio tokens as the unsharded dual decoder."""
+    from nuwa_tpu.models import NUWAVideoAudio
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    k = jax.random.PRNGKey(0)
+    vae = VQGanVAE(
+        dim=8, image_size=16, num_layers=1, vq_codebook_size=16,
+        vq_codebook_dim=8, resnet_groups=4, use_vgg_and_gan=False,
+        vq_kmeans_init=False, use_attn=False, num_resnet_blocks=0,
+    )
+    model = NUWAVideoAudio(
+        vae=vae, dim=16, image_size=16, num_audio_tokens=24,
+        num_audio_tokens_per_video_frame=3, max_video_frames=2,
+        text_num_tokens=32, text_max_seq_len=8, text_enc_depth=1,
+        text_enc_dim_head=8, text_enc_heads=2, dec_depth=2, dec_dim_head=8,
+        dec_heads=2, dec_reversible=False, cross_modality_attn_every=2,
+    )
+    p = model.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k))
+    text = jnp.tile(jnp.array([[1, 2, 3, 0, 0, 0, 0, 0]]), (4, 1)).at[1, 1].set(7)
+
+    gen = lambda pp, t: model.generate(
+        pp, text=t, key=KEY, decode_video=False, cond_scale=2.0,
+        method="cached",
+    )
+    vref, aref = gen(p, text)
+
+    mesh = make_mesh(data=4, model=2)
+    sp = shard_params(p, mesh)
+    stext = jax.device_put(text, data_sharding(mesh, 2))
+    v, a = gen(sp, stext)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vref))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(aref))
