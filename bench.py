@@ -76,7 +76,7 @@ def bench_ar_decode(frames=4, fmap=8, dim=512, depth=6, heads=8, dim_head=64,
     counter = iter(range(1, 10_000))
     dt = _rate(
         lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
-        k_lo=1, k_hi=5,
+        k_lo=2, k_hi=10,
     )
     return {
         "tokens_per_sec": batch * total_tokens / dt,
@@ -342,7 +342,7 @@ def bench_ar_decode_int8(frames=4, fmap=8, dim=512, depth=6, heads=8,
     counter = iter(range(1, 10_000))
     dt = _rate(
         lambda: gen(params, text, jax.random.PRNGKey(next(counter))),
-        k_lo=1, k_hi=5,
+        k_lo=2, k_hi=10,
     )
     return {"tokens_per_sec": batch * total_tokens / dt}
 
