@@ -1,11 +1,14 @@
-"""VQ-VAE roundtrip ablation on the real chip: where do the 55 ms/batch go?
+"""VQ-VAE roundtrip ablation on the real chip.
 
 Run: python scripts/profile_vae.py [--batch 32] [--image-size 256]
 
-Times encode-only, decode-only, and structural ablations (no attention, no
-resnet blocks, nearest vs bilinear upsample, first-conv kernel size) at the
-bench config (dim 128, 4 layers) to attribute the gap to the ~12 ms conv
-roofline (75 GFLOP/frame estimate, docs/BENCHMARKS.md).
+Times encode-only and structural ablations (attention, resnet blocks,
+first-conv kernel size, activation dtype) at the bench config (dim 128,
+4 layers). Historical note: the first run of this script used per-iteration
+syncs and read a 53 ms roundtrip — that launched the round-3 timing
+investigation; with the relay constant cancelled the roundtrip is ~27.5 ms
+for 32 frames ≈ 44% of the ~75 GFLOP/frame conv roofline, i.e. the codec
+was never slow.
 """
 import argparse
 import sys
