@@ -154,3 +154,24 @@ def test_quantized_generate_runs():
     )
     assert idx.shape == (1, 2 * model.tokens_per_frame)
     assert int(idx.min()) >= 0 and int(idx.max()) < 64
+
+
+def test_quantized_generate_long_cached_runs():
+    """int8 weight-only params compose with the cached sliding-window long
+    rollout (serving path: prefill + incremental caches over quantized
+    projections/logits), and the cached path matches the full-re-forward
+    oracle under quantization."""
+    model = tiny_nuwa()
+    p = model.init(KEY)
+    qp = quantize_params_int8(p)
+    text = jnp.array([[1, 2, 3, 0]])
+    cached = model.generate_long(
+        qp, text=text, key=KEY, num_frames=4, decode_video=False,
+        cond_scale=2.0, method="cached",
+    )
+    assert cached.shape == (1, 4 * model.tokens_per_frame)
+    full = model.generate_long(
+        qp, text=text, key=KEY, num_frames=4, decode_video=False,
+        cond_scale=2.0, method="full",
+    )
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
