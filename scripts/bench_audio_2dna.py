@@ -12,7 +12,6 @@ Compares the fused per-tap Pallas path against the XLA gather path:
 """
 import argparse
 import sys
-import time
 
 import numpy as np
 

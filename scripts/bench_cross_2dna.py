@@ -14,7 +14,6 @@ puts numbers on that: fwd+bwd time of the cross op vs the Sparse3DNA self op
 """
 import argparse
 import sys
-import time
 
 import numpy as np
 

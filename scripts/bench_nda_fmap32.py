@@ -5,7 +5,6 @@ Run: python scripts/bench_nda_fmap32.py
 """
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np

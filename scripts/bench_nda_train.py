@@ -7,7 +7,6 @@ Run: python scripts/bench_nda_train.py [--backends dense pallas gather]
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np

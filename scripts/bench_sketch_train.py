@@ -8,7 +8,6 @@ fixed-taps cross kernel's end-to-end contribution.
 """
 import argparse
 import sys
-import time
 
 import numpy as np
 

@@ -9,7 +9,6 @@ added from the kernel's own matmul inventory).
 """
 import argparse
 import sys
-import time
 
 import numpy as np
 

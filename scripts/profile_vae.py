@@ -12,7 +12,6 @@ was never slow.
 """
 import argparse
 import sys
-import time
 
 import numpy as np
 

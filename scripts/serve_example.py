@@ -20,7 +20,6 @@ tests/test_parallel.py::test_tp_serving_decode_parity (b=8, data=4, model=2).
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
