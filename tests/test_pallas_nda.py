@@ -532,3 +532,52 @@ def test_pallas_cross_2dna_runtime_context_mask():
     with pltpu.force_tpu_interpret_mode():
         out2 = np.asarray(mod_pl(p, x, context=ctx2, context_mask=cmask))
     np.testing.assert_allclose(out[:1], out2[:1], atol=1e-5)
+
+
+def test_pallas_dropout_grad_matches_finite_differences():
+    """fwd/bwd dropout-mask consistency: with a fixed key the forward is
+    deterministic, so the custom backward must match central finite
+    differences — a regenerated-mask mismatch between the forward and
+    either backward kernel would show up here directly."""
+    import nuwa_tpu.kernels.nda_pallas as K
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = Sparse3DNA(
+            dim=16, video_shape=(3, 2, 2), kernel_size=3, dilation=1,
+            heads=2, dim_head=8, causal=True, use_pallas=True, dropout=0.35,
+        )
+        p = mod.init(KEY)
+        x = jax.random.normal(KEY, (1, 13, 16))
+        key = jax.random.PRNGKey(7)
+
+        def f(w):
+            p2 = dict(p)
+            p2["talking_heads"] = w
+            with pltpu.force_tpu_interpret_mode():
+                return float(jnp.sum(mod(p2, x, key=key) ** 2))
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(
+                lambda w: jnp.sum(
+                    mod({**p, "talking_heads": w}, x, key=key) ** 2
+                )
+            )(p["talking_heads"])
+
+        rng = np.random.default_rng(0)
+        w0 = np.asarray(p["talking_heads"], np.float64)
+        eps = 1e-3
+        for _ in range(2):
+            d = rng.normal(size=w0.shape)
+            d /= np.linalg.norm(d)
+            num = (
+                f(jnp.asarray(w0 + eps * d, jnp.float32))
+                - f(jnp.asarray(w0 - eps * d, jnp.float32))
+            ) / (2 * eps)
+            ana = float(np.sum(np.asarray(g, np.float64) * d))
+            np.testing.assert_allclose(num, ana, rtol=2e-3, atol=2e-4)
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
