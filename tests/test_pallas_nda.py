@@ -581,3 +581,51 @@ def test_pallas_dropout_grad_matches_finite_differences():
     finally:
         K._CACHE_DTYPE = old
         K._VJP_CACHE.clear()
+
+
+def test_pallas_audio_dropout_grad_matches_finite_differences():
+    """Audio-2DNA dropout: the seed wiring through sparse_2dna_pallas_vjp
+    must give a deterministic forward whose custom backward matches central
+    finite differences."""
+    import nuwa_tpu.kernels.nda_pallas as K
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = SparseCausal2DNA(
+            dim=16, height=2, heads=2, dim_head=8, kernel_size=3,
+            use_pallas=True, dropout=0.3,
+        )
+        p = mod.init(KEY)
+        x = jax.random.normal(KEY, (1, 9, 16))
+        key = jax.random.PRNGKey(5)
+
+        def f(w):
+            with pltpu.force_tpu_interpret_mode():
+                return float(
+                    jnp.sum(mod({**p, "talking_heads": w}, x, key=key) ** 2)
+                )
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(
+                lambda w: jnp.sum(
+                    mod({**p, "talking_heads": w}, x, key=key) ** 2
+                )
+            )(p["talking_heads"])
+
+        rng = np.random.default_rng(1)
+        w0 = np.asarray(p["talking_heads"], np.float64)
+        eps = 1e-3
+        d = rng.normal(size=w0.shape)
+        d /= np.linalg.norm(d)
+        num = (
+            f(jnp.asarray(w0 + eps * d, jnp.float32))
+            - f(jnp.asarray(w0 - eps * d, jnp.float32))
+        ) / (2 * eps)
+        ana = float(np.sum(np.asarray(g, np.float64) * d))
+        np.testing.assert_allclose(num, ana, rtol=2e-3, atol=2e-4)
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
