@@ -82,6 +82,31 @@ def _keep_mask(shape, keep, seed, bi, fi, j):
     return bits >= thresh
 
 
+def _keep_mask_abs(shape, keep, seed, bi, q_base, k_base):
+    """Bernoulli(keep) mask keyed by ABSOLUTE (head, query-token, key-token)
+    coordinates (plus seed/batch), so any sub-tile of the attention matrix
+    regenerates the same bits — the row-blocked kernels' forward tiles
+    (query-block × key-window) and kv-backward tiles (query-block ×
+    key-block) slice the same logical mask at different offsets. q_base /
+    k_base are the (possibly traced, possibly negative-for-phantom) absolute
+    ids of the tile's first row/column; phantom positions are -inf-masked
+    before softmax so their bits never matter."""
+    u32 = jnp.uint32
+    s = jnp.asarray(seed).astype(u32) * u32(0x9E3779B9)
+    s = _hash_u32(s + jnp.asarray(bi).astype(u32) + u32(0x85EBCA6B))
+    hh = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    qa = jnp.asarray(q_base) + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ka = jnp.asarray(k_base) + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    e = (
+        qa.astype(u32) * u32(0x27D4EB2F)
+        ^ ka.astype(u32) * u32(0x165667B1)
+        ^ hh.astype(u32) * u32(0x9E3779B9)
+    )
+    bits = _hash_u32(e ^ s)
+    thresh = np.uint32(min(0xFFFFFFFF, int(round((1.0 - keep) * 2**32))))
+    return bits >= thresh
+
+
 def _spatial_mask_and_selector(fh, fw, kh, kw, dh, dw, causal):
     """Static (HW, HW) allowed-mask and (HW, HW, kh*kw) one-hot tap selector
     (which spatial kernel tap, if any, maps query q to key k)."""
@@ -361,6 +386,7 @@ def _rb_kernel(
     sbias_ref,    # (hb, Rfw, Wfw)
     fbias_ref,    # (h, Kf) SMEM
     th_ref,       # (h, h) SMEM
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     k_hbm,        # (b, h, (LB+F)*HWp, d) ANY — row+frame padded
     v_hbm,        # ANY
     out_ref,      # (1, h, Rfw, d)
@@ -382,11 +408,22 @@ def _rb_kernel(
     causal_f: bool = True,
     fh: int = 0,
     num_f: int = 0,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
     rb = pl.program_id(2)
     f32 = jnp.float32
+    keep = 1.0 - drop_rate
+    q_abs = fi * HW + rb * Rfw  # absolute id of this block's first query
+
+    def drop_abs(x, k_base):
+        """Inverted dropout on absolute (head, q, k) coordinates — the kv
+        backward regenerates the same bits from its own tile offsets."""
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask_abs(x.shape, keep, seed_ref[0], bi, q_abs, k_base)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
 
     q = q_ref[0].astype(f32)
     kbos = kbos_ref[0].astype(f32)
@@ -473,10 +510,13 @@ def _rb_kernel(
         vmat = fetch_v(j)
         pn = jnp.exp(s - lse[..., None])
         pn = _mix3(th_ref, pn, heads)
+        g = tap_frame(j)
+        pn = drop_abs(pn, g * HW + rb * Rfw - prow * fw)
         acc[...] += jax.lax.dot_general(
             pn, vmat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
         )
     pn_bos = _mix2(th_ref, jnp.exp(s_bos - lse), heads)
+    pn_bos = drop_abs(pn_bos[..., None], -2)[..., 0]  # bos key sentinel
     out = acc[...] + pn_bos[..., None] * vbos_ref[0].astype(f32)
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -525,6 +565,7 @@ def _rb_bwd_q_kernel(
     sbias_ref,    # (hb, Rfw, Wfw)
     fbias_ref,    # (h, Kf) SMEM
     th_ref,       # (h, h) SMEM
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     k_hbm,        # row+frame padded ANY
     v_hbm,        # ANY
     dq_ref, rho_ref, dkbos_ref, dvbos_ref, dth_ref, dsb_ref, dfb_ref,
@@ -546,11 +587,20 @@ def _rb_bwd_q_kernel(
     causal_f: bool = True,
     fh: int = 0,
     num_f: int = 0,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
     rb = pl.program_id(2)
     f32 = jnp.float32
+    keep = 1.0 - drop_rate
+    q_abs = fi * HW + rb * Rfw
+
+    def drop_abs(x, k_base):
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask_abs(x.shape, keep, seed_ref[0], bi, q_abs, k_base)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
 
     q = q_ref[0].astype(f32)
     go = g_ref[0].astype(f32)
@@ -609,12 +659,14 @@ def _rb_bwd_q_kernel(
         dA = jax.lax.dot_general(
             go, vmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
         )
+        dA = drop_abs(dA, g * HW + rb * Rfw - prow * fw)
         dP = _mix3(th_ref, dA, heads, transpose=True)
         return pj, dA, dP
 
     s_bos = jnp.sum(q * kbos, axis=-1)
     p_bos = jnp.exp(s_bos - lse)
     dA_bos = jnp.sum(go * vbos, axis=-1)
+    dA_bos = drop_abs(dA_bos[..., None], -2)[..., 0]
     dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
     rho = p_bos * dp_bos
     for j in range(Kf):
@@ -664,7 +716,7 @@ def _rb_bwd_q_kernel(
         dvbos_ref[...] = jnp.zeros(dvbos_ref.shape, dvbos_ref.dtype)
 
     dkbos_ref[0, :, 0, :] += _outer_hq_hqd(ds_bos, q).astype(dkbos_ref.dtype)
-    a_bos = _mix2(th_ref, p_bos, heads)
+    a_bos = drop_abs(_mix2(th_ref, p_bos, heads)[..., None], -2)[..., 0]
     dvbos_ref[0, :, 0, :] += _outer_hq_hqd(a_bos, go).astype(dvbos_ref.dtype)
 
 
@@ -675,6 +727,7 @@ def _rb_bwd_kv_kernel(
     sbiasb_ref,   # (NB, hb, Rfw, Rfw)
     fbias_ref,    # (h, Kf) SMEM
     th_ref,       # (h, h) SMEM
+    seed_ref,     # (1,) SMEM — attention-dropout PRNG seed
     q_hbm, g_hbm, lse_hbm, rho_hbm,  # ANY
     dk_ref, dv_ref,
     qbuf, gbuf, lsebuf, rhobuf, dk_s, dv_s, sem,
@@ -692,6 +745,7 @@ def _rb_bwd_kv_kernel(
     num_f: int,
     causal_f: bool = True,
     nb_neg: int = 0,
+    drop_rate: float = 0.0,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
@@ -702,6 +756,14 @@ def _rb_bwd_kv_kernel(
     vmat = v_ref[0].astype(f32)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Rfw), 1)
     tok_ok = (gk * HW + rbk * Rfw + kidx) < t_valid
+    keep = 1.0 - drop_rate
+    k_abs = gk * HW + rbk * Rfw  # absolute id of this block's first key
+
+    def drop_abs(x, q_base):
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask_abs(x.shape, keep, seed_ref[0], bi, q_base, k_abs)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
 
     dk_s[...] = jnp.zeros(dk_s.shape, dk_s.dtype)
     dv_s[...] = jnp.zeros(dv_s.shape, dv_s.dtype)
@@ -756,13 +818,14 @@ def _rb_bwd_kv_kernel(
                     gm, vmat, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )
+                dA = drop_abs(dA, start)
                 dP = _mix3(th_ref, dA, heads, transpose=True)
                 dS = pj * (dP - rho[..., None])
                 dk_s[...] += jax.lax.dot_general(
                     dS, qm, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )
-                a_mixed = _mix3(th_ref, pj, heads)
+                a_mixed = drop_abs(_mix3(th_ref, pj, heads), start)
                 dv_s[...] += jax.lax.dot_general(
                     a_mixed, gm, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
@@ -1450,15 +1513,18 @@ def _rb_bias_tensors(mod, p, heads, geo):
 
 
 def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
-                 kpad, vpad):
+                 kpad, vpad, seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     d, kf, F = geo["d"], geo["kf"], geo["F"]
     Rfw, Wfw, RB = geo["Rfw"], geo["Wfw"], geo["RB"]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _rb_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
         R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
         heads=h, t_valid=t, causal_f=mod.causal, fh=geo["fh"], num_f=F,
+        drop_rate=drop_rate,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1475,6 +1541,7 @@ def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # fbias
             _th_spec(h),                      # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
             pl.BlockSpec(memory_space=pl.ANY),                       # kpad
             pl.BlockSpec(memory_space=pl.ANY),                       # vpad
         ],
@@ -1499,7 +1566,7 @@ def _rb_fwd_call(mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    )(q, k_bos, v_bos, maskf, sbias, fbias, th_w, seed, kpad, vpad)
     return out, lse
 
 
@@ -1542,17 +1609,19 @@ def sizes_index(kernel):
 
 
 def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
-                   fbias, th_w, kpad, vpad):
+                   fbias, th_w, kpad, vpad, seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     d, kf, F = geo["d"], geo["kf"], geo["F"]
     Rfw, Wfw, RB = geo["Rfw"], geo["Wfw"], geo["RB"]
     hb = sbias.shape[0]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _rb_bwd_q_kernel,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=geo["HW"], HWp=geo["HWp"],
         R=geo["R"], fw=geo["fw"], prow=geo["prow"], Rfw=Rfw, Wfw=Wfw,
         heads=h, t_valid=t, rel_pos=mod.rel_pos_bias, causal_f=mod.causal,
-        fh=geo["fh"], num_f=F,
+        fh=geo["fh"], num_f=F, drop_rate=drop_rate,
     )
     qb_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb, 0)
     l_ix = lambda bi, fi, rb: (bi, 0, fi * RB + rb)
@@ -1571,6 +1640,7 @@ def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbias
             pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
             _th_spec(h),                                                    # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # seed
             pl.BlockSpec(memory_space=pl.ANY),                           # kpad
             pl.BlockSpec(memory_space=pl.ANY),                           # vpad
         ],
@@ -1605,19 +1675,22 @@ def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad)
+    )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, seed, kpad, vpad)
 
 
 def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
-                    fbias, th_w):
+                    fbias, th_w, seed=None, drop_rate=0.0):
     b, h = q.shape[0], q.shape[1]
     d, kf, F = geo["d"], geo["kf"], geo["F"]
     Rfw, RB, NB = geo["Rfw"], geo["RB"], geo["NB"]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _rb_bwd_kv_kernel,
         Kf=kf, df=geo["df"], HW=geo["HW"], R=geo["R"], fw=geo["fw"],
         Rfw=Rfw, RB=RB, NB=NB, heads=h, t_valid=t, num_f=F,
         causal_f=mod.causal, nb_neg=geo.get("nb_neg", 0),
+        drop_rate=drop_rate,
     )
     kb_ix = lambda bi, gk, rbk: (bi, 0, gk * RB + rbk, 0)
     return pl.pallas_call(
@@ -1630,6 +1703,7 @@ def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
             pl.BlockSpec(memory_space=pltpu.VMEM),                          # sbiasb
             pl.BlockSpec(memory_space=pltpu.SMEM),                          # fbias
             _th_spec(h),                                                    # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                          # seed
             pl.BlockSpec(memory_space=pl.ANY),                           # q
             pl.BlockSpec(memory_space=pl.ANY),                           # gout
             pl.BlockSpec(memory_space=pl.ANY),                           # lse
@@ -1655,7 +1729,7 @@ def _rb_bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, maskb, sbiasb,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(k, v, maskb, sbiasb, fbias, th_w, q, gout, lse, rho)
+    )(k, v, maskb, sbiasb, fbias, th_w, seed, q, gout, lse, rho)
 
 
 def _rb_bwd_bias_tensors(mod, geo):
@@ -1673,34 +1747,35 @@ def _rb_bwd_bias_tensors(mod, geo):
     return maskb, jnp.asarray(sel_np, jnp.float32), NB, nb_neg
 
 
-def _rb_core_op(mod, num_frames, t):
+def _rb_core_op(mod, num_frames, t, drop_rate=0.0):
     """custom_vjp core for the row-blocked (HW > 256) kernels."""
 
-    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
+    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
         geo = _rb_geometry(mod, num_frames, q.shape[-1])
         maskf = _rb_static_mask(mod, geo)
         kpad, vpad = _rb_pad_frames(geo, k, v)
         return _rb_fwd_call(
-            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad, vpad
+            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad,
+            vpad, seed=seed, drop_rate=drop_rate,
         )
 
     @jax.custom_vjp
-    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)[0]
+    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)[0]
 
-    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w):
-        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
-        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse)
+    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)
+        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed, lse)
 
     def core_bwd(res, gout):
-        q, k, v, k_bos, v_bos, sbias, fbias, th_w, lse = res
+        q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed, lse = res
         geo = _rb_geometry(mod, num_frames, q.shape[-1])
         maskf = _rb_static_mask(mod, geo)
         kpad, vpad = _rb_pad_frames(geo, k, v)
         gout = gout.astype(q.dtype)
         dq, rho, dkbos, dvbos, dth, dsb, dfb = _rb_bwd_q_call(
             mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
-            th_w, kpad, vpad,
+            th_w, kpad, vpad, seed=seed, drop_rate=drop_rate,
         )
         maskb, sel_b, NB, nb_neg = _rb_bwd_bias_tensors(mod, geo)
         geo["NB"] = NB
@@ -1718,6 +1793,7 @@ def _rb_core_op(mod, num_frames, t):
         dk, dv = _rb_bwd_kv_call(
             mod, geo, t, q, gout, lse, rho, k, v, maskb,
             jax.lax.stop_gradient(sbiasb), fbias, th_w,
+            seed=seed, drop_rate=drop_rate,
         )
         return (
             dq,
@@ -1728,6 +1804,7 @@ def _rb_core_op(mod, num_frames, t):
             dsb.astype(sbias.dtype),
             jnp.transpose(dfb).astype(fbias.dtype),
             dth.astype(th_w.dtype),
+            np.zeros((1,), dtype=jax.dtypes.float0),
         )
 
     core.defvjp(core_fwd, core_bwd)
@@ -1833,17 +1910,29 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
 
     HW = mod.video_shape[1] * mod.video_shape[2]
     if HW > 256:
-        # row-blocked kernels (causal or centered): true flash backward too
-        core = _rb_core_op(mod, num_frames, t)
+        # row-blocked kernels (causal or centered): true flash backward too;
+        # dropout uses absolute-coordinate masks (see _keep_mask_abs)
+        core = _rb_core_op(mod, num_frames, t, drop_rate=mod.dropout)
+        core_nodrop = (
+            _rb_core_op(mod, num_frames, t, drop_rate=0.0)
+            if mod.dropout
+            else core
+        )
 
-        def op_rb(p_sub, q, k, v, k_bos, v_bos):
+        def op_rb(p_sub, q, k, v, k_bos, v_bos, seed=None):
             d_orig = q.shape[-1]
             geo = _rb_geometry(mod, num_frames, d_orig)
             _, sbias, fbias, th_w = _rb_bias_tensors(mod, p_sub, mod.heads, geo)
             q, k, v, k_bos, v_bos = _pad_d(
                 [q, k, v, k_bos, v_bos], d_orig, geo["d"]
             )
-            out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w)
+            if seed is None:  # inference: no dropout
+                out = core_nodrop(
+                    q, k, v, k_bos, v_bos, sbias, fbias, th_w,
+                    jnp.zeros((1,), jnp.int32),
+                )
+            else:
+                out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)
             return out[:, :, :t, :d_orig]
 
         _VJP_CACHE[cache_key] = op_rb

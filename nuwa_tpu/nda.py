@@ -535,12 +535,12 @@ class Sparse3DNA(Module):
 
         rel_bias = self._rel_bias(p)
 
-        # attention dropout runs *inside* the whole-frame kernels (counter
-        # PRNG, masks regenerated in both backwards); the row-blocked family
-        # still falls back to XLA when dropout is active with a key
+        # attention dropout runs *inside* the kernels: tile-keyed counter
+        # PRNG in the whole-frame family, absolute-(q,k)-coordinate masks in
+        # the row-blocked family (its kv backward slices sub-tiles of the
+        # forward's windows)
         wf = tokens_per_frame <= 256
         drop_active = self.dropout > 0.0 and key is not None
-        key_ok = (not drop_active) or wf
         # backend='auto' on TPU prefers the fused Pallas kernels (measured
         # faster than the dense XLA path both forward and fwd+bwd on v5e —
         # docs/BENCHMARKS.md); CPU and constrained shapes fall through to XLA.
@@ -552,7 +552,7 @@ class Sparse3DNA(Module):
             # small fmaps the attention op is a negligible share anyway —
             # round-1 measured all backends tying at fmap 8.
             shape_ok = tokens_per_frame % 128 == 0 or not on_tpu
-            pallas_ok = want_pallas and key_ok and shape_ok
+            pallas_ok = want_pallas and shape_ok
         else:
             # large fmaps: row-blocked kernel (fmap width <= 256)
             from .kernels.nda_pallas import rb_row_block
@@ -561,7 +561,7 @@ class Sparse3DNA(Module):
             shape_ok = R is not None and (
                 (R * self.video_shape[2]) % 128 == 0 or not on_tpu
             )
-            pallas_ok = want_pallas and key_ok and shape_ok
+            pallas_ok = want_pallas and shape_ok
         if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas_vjp
 
@@ -574,7 +574,7 @@ class Sparse3DNA(Module):
             if self.rel_pos_bias:
                 p_sub["rel_pos_bias"] = p["rel_pos_bias"]
             op = sparse_3dna_pallas_vjp(self, num_frames, t)
-            if wf and drop_active:
+            if drop_active:
                 seed = jax.random.randint(
                     key, (1,), 0, 2**31 - 1, dtype=jnp.int32
                 )

@@ -629,3 +629,62 @@ def test_pallas_audio_dropout_grad_matches_finite_differences():
     finally:
         K._CACHE_DTYPE = old
         K._VJP_CACHE.clear()
+
+
+def test_pallas_row_blocked_dropout():
+    """Dropout on the row-blocked family (absolute-coordinate masks):
+    keyless calls equal the no-dropout kernel; keyed calls vary; and the
+    custom flash backward matches central finite differences (the kv-side
+    kernel slices sub-tiles of the forward's dropout mask — any coordinate
+    mismatch fails the FD check)."""
+    import nuwa_tpu.kernels.nda_pallas as K
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod0 = Sparse3DNA(
+            dim=16, video_shape=(2, 32, 9), kernel_size=3, dilation=1,
+            heads=2, dim_head=8, causal=True, use_pallas=True,
+        )
+        mod = mod0.replace(dropout=0.3)
+        p = mod.init(KEY)
+        t = 2 * 32 * 9 - 5
+        x = jax.random.normal(KEY, (1, 1 + t, 16))
+        key = jax.random.PRNGKey(11)
+
+        with pltpu.force_tpu_interpret_mode():
+            base = np.asarray(mod0(p, x))
+            np.testing.assert_array_equal(np.asarray(mod(p, x)), base)
+            o1 = np.asarray(mod(p, x, key=jax.random.PRNGKey(1)))
+            o2 = np.asarray(mod(p, x, key=jax.random.PRNGKey(2)))
+            assert not np.allclose(o1, o2)
+
+        def f(w):
+            with pltpu.force_tpu_interpret_mode():
+                return float(
+                    jnp.sum(mod({**p, "talking_heads": w}, x, key=key) ** 2)
+                )
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(
+                lambda w: jnp.sum(
+                    mod({**p, "talking_heads": w}, x, key=key) ** 2
+                )
+            )(p["talking_heads"])
+
+        rng = np.random.default_rng(2)
+        w0 = np.asarray(p["talking_heads"], np.float64)
+        eps = 1e-3
+        for _ in range(2):
+            d = rng.normal(size=w0.shape)
+            d /= np.linalg.norm(d)
+            num = (
+                f(jnp.asarray(w0 + eps * d, jnp.float32))
+                - f(jnp.asarray(w0 - eps * d, jnp.float32))
+            ) / (2 * eps)
+            ana = float(np.sum(np.asarray(g, np.float64) * d))
+            np.testing.assert_allclose(num, ana, rtol=2e-3, atol=2e-3)
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
