@@ -18,6 +18,33 @@ from ..utils.quantize import dequant
 from ..ops.sampling import gumbel_sample, top_k_filter
 
 
+class _ModelJitCache:
+    """Memoized ``jax.jit`` per (model, tag, statics): models are frozen
+    dataclasses (hashable), so repeated ``generate``/``generate_long`` calls
+    dispatch the cached executable instead of re-tracing the whole sampling
+    graph per call — the reference re-runs its Python decode loop every call
+    (nuwa_pytorch.py:1870-1908); here tracing happens once per config.
+
+    The builder closure is only *invoked* on a cache miss, so callers may
+    pass a freshly created lambda every time."""
+
+    def __init__(self, maxsize=128):
+        self._cache = {}
+        self._maxsize = maxsize
+
+    def __call__(self, model, tag, build):
+        key = (model, tag)
+        fn = self._cache.get(key)
+        if fn is None:
+            if len(self._cache) >= self._maxsize:
+                self._cache.pop(next(iter(self._cache)))
+            fn = self._cache[key] = jax.jit(build())
+        return fn
+
+
+model_jit = _ModelJitCache()
+
+
 @functools.lru_cache(maxsize=64)
 def long_frame_decoder(model, win, W, b, use_cfg, filter_thres, temperature,
                        cond_scale):

@@ -24,7 +24,9 @@ from ..ops.embeddings import AxialPositionalEmbedding, rotary_freqs
 from ..ops.sampling import prob_mask_like
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
-from .common import ar_decode_loop, cached_ar_rollout, long_frame_decoder
+from .common import (
+    ar_decode_loop, cached_ar_rollout, long_frame_decoder, model_jit,
+)
 
 import functools
 
@@ -352,26 +354,58 @@ class NUWA(Module):
         ``method="cached"`` uses per-layer KV/neighborhood/shift caches —
         O(depth·Kn) per token (nuwa_tpu.decode); ``method="full"`` re-runs the
         whole decoder per token (the reference's pattern, used as the oracle).
-        Supports num_frames <= max_video_frames.
+        Supports num_frames <= max_video_frames. The whole indices rollout is
+        jitted once per (method, shapes) via ``model_jit`` — repeat calls are
+        a single cached dispatch, no re-trace.
         """
-        b = text.shape[0]
         num_frames = num_frames if num_frames is not None else self.max_video_frames
         assert num_frames <= self.max_video_frames
         total = num_frames * self.tokens_per_frame
 
+        run = model_jit(
+            self, ("gen", method, total, filter_thres, temperature, cond_scale),
+            lambda: functools.partial(
+                self._gen_indices, method=method, total=total,
+                filter_thres=filter_thres, temperature=temperature,
+                cond_scale=cond_scale,
+            ),
+        )
+        indices = run({k: v for k, v in p.items() if k != "vae"}, text, key)
+
+        if not decode_video or self.vae is None:
+            return indices
+        return self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], indices,
+            decode_chunks=decode_max_batchsize,
+        )
+
+    def _long_prep(self, p, text, *, use_cfg):
+        """Jitted prep for ``generate_long``: text context (CFG-widened) +
+        the full video positional-embedding table."""
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+        pos_emb = self._video_pos_emb(p["video_pos_emb"])
+        if use_cfg:
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate(
+                [text_mask, jnp.zeros_like(text_mask)], axis=0
+            )
+        else:
+            ctx, cmask = text_embeds, text_mask
+        return ctx, cmask, pos_emb
+
+    def _gen_indices(self, p, text, key, *, method, total, filter_thres,
+                     temperature, cond_scale):
+        """Pure indices rollout (no VAE decode) — the jitted body of
+        ``generate``."""
+        b = text.shape[0]
         text_mask = text != 0
         text_embeds = self.embed_text(p, text, text_mask)
 
         if method == "cached":
-            indices = self._generate_cached(
+            return self._generate_cached(
                 p, text_embeds, text_mask, b, total, key,
                 filter_thres, temperature, cond_scale,
-            )
-            if not decode_video or self.vae is None:
-                return indices
-            return self.vae.codebook_indices_to_video(
-                p["vae"]["params"], p["vae"]["state"], indices,
-                decode_chunks=decode_max_batchsize,
             )
 
         use_cfg = cond_scale != 1
@@ -393,7 +427,7 @@ class NUWA(Module):
             row = jax.lax.dynamic_index_in_dim(logits, i, axis=1, keepdims=False)
             return row, None
 
-        indices = ar_decode_loop(
+        return ar_decode_loop(
             key=key,
             batch=b,
             total_tokens=total,
@@ -401,13 +435,6 @@ class NUWA(Module):
             filter_thres=filter_thres,
             temperature=temperature,
             cond_scale=cond_scale,
-        )
-
-        if not decode_video or self.vae is None:
-            return indices
-        return self.vae.codebook_indices_to_video(
-            p["vae"]["params"], p["vae"]["state"], indices,
-            decode_chunks=decode_max_batchsize,
         )
 
     # ---- sliding-window long rollout --------------------------------------
@@ -448,14 +475,13 @@ class NUWA(Module):
                 decode_max_batchsize=decode_max_batchsize, method=method,
             )
 
-        text_mask = text != 0
-        text_embeds = self.embed_text(p, text, text_mask)
         use_cfg = cond_scale != 1
-        if use_cfg:
-            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
-            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
-        else:
-            ctx, cmask = text_embeds, text_mask
+        prep = model_jit(
+            self, ("long_prep", use_cfg),
+            lambda: functools.partial(self._long_prep, use_cfg=use_cfg),
+        )
+        pnv = {k: v for k, v in p.items() if k != "vae"}
+        ctx, cmask, pos_emb = prep(pnv, text)
 
         # first maxf frames with the standard path
         key, sub = jax.random.split(key)
@@ -469,7 +495,6 @@ class NUWA(Module):
         W = (maxf - 1) * tpf
 
         if method == "cached":
-            pos_emb = self._video_pos_emb(p["video_pos_emb"])
             fr = long_frame_decoder(
                 self, win, W, b, use_cfg, filter_thres, temperature, cond_scale
             )

@@ -25,8 +25,10 @@ from ..ops.embeddings import AxialPositionalEmbedding
 from ..ops.sampling import prob_mask_like
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
-from .common import ar_decode_loop
+from .common import ar_decode_loop, model_jit
 from .nuwa import cross_entropy
+
+import functools
 
 
 @dataclass(frozen=True)
@@ -171,7 +173,8 @@ class NUWASketch(Module):
 
     # ---- sketch encoder ---------------------------------------------------
 
-    def embed_sketch(self, p, sketch, mask=None, *, key=None, train=False):
+    def embed_sketch(self, p, sketch, mask=None, *, key=None, train=False,
+                     cp_mesh=None):
         """sketch: (b, f, c, h, w); mask: (b, f) frame-level."""
         b, frames = sketch.shape[:2]
         indices = jax.lax.stop_gradient(
@@ -194,7 +197,8 @@ class NUWASketch(Module):
             token_mask = jnp.ones((b, n), dtype=bool)
 
         embeds = self.sketch_transformer(
-            p["sketch_transformer"], tokens, mask=token_mask, key=key
+            p["sketch_transformer"], tokens, mask=token_mask, key=key,
+            cp_mesh=cp_mesh,
         )
         return embeds, token_mask
 
@@ -249,7 +253,8 @@ class NUWASketch(Module):
             skey, dkey, ckey = jax.random.split(key, 3)
 
         sketch_embeds, context_mask = self.embed_sketch(
-            p, sketch, mask=sketch_mask, key=skey, train=train
+            p, sketch, mask=sketch_mask, key=skey, train=train,
+            cp_mesh=cp_mesh,
         )
 
         frame_indices = jax.lax.stop_gradient(
@@ -306,15 +311,15 @@ class NUWASketch(Module):
                 decode_max_batchsize=decode_max_batchsize, method=method,
             )
 
-        sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
         use_cfg = cond_scale != 1
-        if use_cfg:
-            ctx = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
-            cmask = jnp.concatenate(
-                [context_mask, jnp.zeros_like(context_mask)], axis=0
-            )
-        else:
-            ctx, cmask = sketch_embeds, context_mask
+        prep = model_jit(
+            self, ("long_prep", use_cfg),
+            lambda: functools.partial(self._long_prep, use_cfg=use_cfg),
+        )
+        pnv = {k: v for k, v in p.items() if k != "vae"}
+        ctx, cmask, pos_emb, sketch_embeds, context_mask = prep(
+            pnv, sketch, sketch_mask
+        )
 
         key, sub = jax.random.split(key)
         indices = self.generate(
@@ -330,9 +335,6 @@ class NUWASketch(Module):
         if method == "cached":
             from .common import long_frame_decoder
 
-            pos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
-                p["video_pos_emb"]
-            )
             fr = long_frame_decoder(
                 self, win, W, b, use_cfg, filter_thres, temperature, cond_scale
             )
@@ -406,11 +408,48 @@ class NUWASketch(Module):
     ):
         if sketch.ndim == 4:
             sketch = sketch[:, None]
-        b = sketch.shape[0]
         num_frames = num_frames if num_frames is not None else self.max_video_frames
         assert num_frames <= self.max_video_frames
         total = num_frames * self.tokens_per_frame
 
+        run = model_jit(
+            self, ("gen", method, total, filter_thres, temperature, cond_scale),
+            lambda: functools.partial(
+                self._gen_indices, method=method, total=total,
+                filter_thres=filter_thres, temperature=temperature,
+                cond_scale=cond_scale,
+            ),
+        )
+        indices = run(
+            {k: v for k, v in p.items() if k != "vae"}, sketch, sketch_mask, key
+        )
+        if not decode_video:
+            return indices
+        return self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], indices,
+            decode_chunks=decode_max_batchsize,
+        )
+
+    def _long_prep(self, p, sketch, sketch_mask, *, use_cfg):
+        """Jitted prep for ``generate_long``: sketch context (CFG-widened) +
+        the full video positional-embedding table."""
+        sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
+        pos_emb = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
+            p["video_pos_emb"]
+        )
+        if use_cfg:
+            ctx = jnp.concatenate([sketch_embeds, sketch_embeds], axis=0)
+            cmask = jnp.concatenate(
+                [context_mask, jnp.zeros_like(context_mask)], axis=0
+            )
+        else:
+            ctx, cmask = sketch_embeds, context_mask
+        return ctx, cmask, pos_emb, sketch_embeds, context_mask
+
+    def _gen_indices(self, p, sketch, sketch_mask, key, *, method, total,
+                     filter_thres, temperature, cond_scale):
+        """Pure indices rollout — the jitted body of ``generate``."""
+        b = sketch.shape[0]
         sketch_embeds, context_mask = self.embed_sketch(p, sketch, mask=sketch_mask)
 
         if method == "cached":
@@ -428,7 +467,7 @@ class NUWASketch(Module):
                 ctx, cmask, eb = sketch_embeds, context_mask, b
             dec = TransformerDecoder(self.video_transformer, total_in=total)
             caches = dec.init_cache(p["video_transformer"], eb, ctx, cmask)
-            indices = cached_ar_rollout(
+            return cached_ar_rollout(
                 dec=dec,
                 p_transformer=p["video_transformer"],
                 caches=caches,
@@ -445,12 +484,6 @@ class NUWASketch(Module):
                 temperature=temperature,
                 cond_scale=cond_scale,
                 dim=self.dim,
-            )
-            if not decode_video:
-                return indices
-            return self.vae.codebook_indices_to_video(
-                p["vae"]["params"], p["vae"]["state"], indices,
-                decode_chunks=decode_max_batchsize,
             )
 
         use_cfg = cond_scale != 1
@@ -472,7 +505,7 @@ class NUWASketch(Module):
             row = jax.lax.dynamic_index_in_dim(logits, i, axis=1, keepdims=False)
             return row, None
 
-        indices = ar_decode_loop(
+        return ar_decode_loop(
             key=key,
             batch=b,
             total_tokens=total,
@@ -480,11 +513,4 @@ class NUWASketch(Module):
             filter_thres=filter_thres,
             temperature=temperature,
             cond_scale=cond_scale,
-        )
-
-        if not decode_video:
-            return indices
-        return self.vae.codebook_indices_to_video(
-            p["vae"]["params"], p["vae"]["state"], indices,
-            decode_chunks=decode_max_batchsize,
         )

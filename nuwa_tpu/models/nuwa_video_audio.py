@@ -27,6 +27,7 @@ from ..ops.sampling import gumbel_sample, prob_mask_like, top_k_filter
 from ..utils.quantize import dequant
 from ..transformer import ReversibleTransformer, Transformer
 from ..vqgan_vae import VQGanVAE
+from .common import model_jit
 from .nuwa import cross_entropy
 
 import functools
@@ -559,14 +560,15 @@ class NUWAVideoAudio(Module):
             "audio pos-emb table too small for one window"
         )
 
-        text_mask = text != 0
-        text_embeds = self.embed_text(p, text, text_mask)
         use_cfg = cond_scale != 1
-        if use_cfg:
-            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
-            cmask = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
-        else:
-            ctx, cmask = text_embeds, text_mask
+        prep = model_jit(
+            self, ("long_prep", use_cfg),
+            lambda: functools.partial(self._long_prep, use_cfg=use_cfg),
+        )
+        text_mask = text != 0
+        ctx, cmask, text_embeds = prep(
+            {k: v for k, v in p.items() if k != "vae"}, text
+        )
 
         key, sub = jax.random.split(key)
         vidx, aidx = self.generate(
@@ -668,9 +670,46 @@ class NUWAVideoAudio(Module):
         decode_video=True,
         method="cached",
     ):
-        b = text.shape[0]
         num_frames = num_frames if num_frames is not None else self.max_video_frames
         assert num_frames <= self.max_video_frames
+
+        run = model_jit(
+            self,
+            ("gen", method, num_frames, filter_thres, temperature, cond_scale),
+            lambda: functools.partial(
+                self._gen_indices, method=method, num_frames=num_frames,
+                filter_thres=filter_thres, temperature=temperature,
+                cond_scale=cond_scale,
+            ),
+        )
+        video_indices, audio_indices = run(
+            {k: v for k, v in p.items() if k != "vae"}, text, key
+        )
+        if not decode_video:
+            return video_indices, audio_indices
+        video = self.vae.codebook_indices_to_video(
+            p["vae"]["params"], p["vae"]["state"], video_indices,
+            decode_chunks=decode_max_batchsize,
+        )
+        return video, audio_indices
+
+    def _long_prep(self, p, text, *, use_cfg):
+        """Jitted prep for ``generate_long``: text context, CFG-widened."""
+        text_mask = text != 0
+        text_embeds = self.embed_text(p, text, text_mask)
+        if use_cfg:
+            ctx = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            cmask = jnp.concatenate(
+                [text_mask, jnp.zeros_like(text_mask)], axis=0
+            )
+        else:
+            ctx, cmask = text_embeds, text_mask
+        return ctx, cmask, text_embeds
+
+    def _gen_indices(self, p, text, key, *, method, num_frames, filter_thres,
+                     temperature, cond_scale):
+        """Pure joint indices rollout — the jitted body of ``generate``."""
+        b = text.shape[0]
         vtpf = self.num_video_tokens_per_frame
         atpf = self.num_audio_tokens_per_video_frame
         total_v = num_frames * vtpf
@@ -678,17 +717,10 @@ class NUWAVideoAudio(Module):
         total = total_v + total_a
 
         if method == "cached":
-            video_indices, audio_indices = self._generate_cached(
+            return self._generate_cached(
                 p, text, b, num_frames, total_v, total_a, key,
                 filter_thres, temperature, cond_scale,
             )
-            if not decode_video:
-                return video_indices, audio_indices
-            video = self.vae.codebook_indices_to_video(
-                p["vae"]["params"], p["vae"]["state"], video_indices,
-                decode_chunks=decode_max_batchsize,
-            )
-            return video, audio_indices
 
         # static modality schedule: one video frame's tokens, then one audio
         # frame's tokens, alternating (reference :2142-2208)
@@ -774,11 +806,4 @@ class NUWAVideoAudio(Module):
         (video_indices, audio_indices, _), _ = jax.lax.scan(
             step, (vbuf0, abuf0, key), jnp.arange(total)
         )
-
-        if not decode_video:
-            return video_indices, audio_indices
-        video = self.vae.codebook_indices_to_video(
-            p["vae"]["params"], p["vae"]["state"], video_indices,
-            decode_chunks=decode_max_batchsize,
-        )
-        return video, audio_indices
+        return video_indices, audio_indices
