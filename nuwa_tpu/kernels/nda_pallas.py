@@ -1673,7 +1673,11 @@ def _rb_bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias,
             pltpu.SemaphoreType.DMA((2 * kf,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 118 MiB: the audio row-blocked shape (Rfw 640, Wfw 660, H=5)
+            # peaks at ~110 MiB of stack temporaries in this kernel — v5e
+            # has 128 MiB of VMEM and the default 100 MiB cap is not a
+            # hardware bound
+            vmem_limit_bytes=118 * 1024 * 1024,
         ),
     )(q, gout, lse, k_bos, v_bos, maskf, sbias, fbias, th_w, seed, kpad, vpad)
 
@@ -2087,11 +2091,19 @@ def sparse_2dna_pallas_vjp(mod, t: int):
     """Differentiable audio-2DNA op ``f(p_sub, q, k, v, k_bos, v_bos)``.
 
     q: (b, h, t, d) pre-scaled queries; k/v may carry timestep-alignment
-    padding (sliced/re-padded to whole pseudo-frames here). Forward and both
-    backwards run the whole-frame Pallas kernels with per-tap masks."""
+    padding (sliced/re-padded to whole pseudo-frames here). Heights whose
+    pseudo-frame (lcm(H, 128)) fits in 256 tokens run the whole-frame
+    kernels with per-tap masks; larger heights (3, 5, 6, …) run the
+    row-blocked kernel family with timestep-row windows (VERDICT r3 #5 —
+    these used to fall back to the 6.4x-slower gather)."""
     cache_key = ("audio", mod, t)
     if cache_key in _VJP_CACHE:
         return _VJP_CACHE[cache_key]
+
+    if _audio_geometry(mod, t, 1)["HW"] > 256:
+        op = _audio_rb_make_op(mod, t)
+        _VJP_CACHE[cache_key] = op
+        return op
 
     core = _audio_core_op(mod, t, drop_rate=mod.dropout)
     core_nodrop = _audio_core_op(mod, t, drop_rate=0.0) if mod.dropout else core
@@ -2119,6 +2131,234 @@ def sparse_2dna_pallas_vjp(mod, t: int):
         return out[:, :, :t, :d_orig]
 
     _VJP_CACHE[cache_key] = op
+    return op
+
+
+# ---------------------------------------------------------------------------
+# SparseCausal2DNA (audio) on the row-blocked kernel family
+#
+# For heights whose pseudo-frame lcm(H, 128) exceeds 256 tokens (3 -> 384,
+# 5 -> 640, …) the whole-frame grouping does ~HW/(K·H) x overcompute AND
+# larger VMEM score buffers. The row-blocked kernels fit naturally instead:
+# a timestep IS a key row (width H), the whole audio strip is ONE frame of
+# T timestep-rows, and a query block of R timesteps reads a key window of
+# R + (K-1)·dilation rows — exactly the 3DNA row-blocked data movement. The
+# generic _rb_* kernels are mask-agnostic; only the static masks encode the
+# audio semantics (causal over timesteps on the dilated lattice, full over
+# height — reference nuwa_pytorch.py:615-759).
+# ---------------------------------------------------------------------------
+
+
+def audio_rb_row_block(mod):
+    """Minimal lane-aligned timestep block (R·H % 128 == 0), or None when
+    the resulting query block would be too large for VMEM (Rfw > 1024)."""
+    import math
+
+    H = mod.height
+    R = 128 // math.gcd(H, 128)
+    return R if R * H <= 1024 else None
+
+
+def _audio_rb_geometry(mod, t: int, d_orig: int):
+    H, K, dt = mod.height, mod.kernel_size, mod.dilation
+    R = audio_rb_row_block(mod)
+    assert R is not None
+    reach = (K - 1) * dt
+    T = -(-t // H)             # timesteps
+    T_pad = -(-T // R) * R     # whole row-blocks
+    d = ((d_orig + 127) // 128) * 128
+    W = R + reach
+    return dict(
+        # one "frame" = the whole audio strip of T_pad timestep-rows
+        HW=T_pad * H, HWp=(T_pad + reach) * H, F=1, fh=T_pad, fw=H,
+        kf=1, df=1, LB=0, RBf=0, d=d,
+        R=R, prow=reach, brow=0, W=W, RB=T_pad // R,
+        Rfw=R * H, Wfw=W * H, H=H,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _audio_rb_masks_np(H, K, dt, R, W, prow):
+    """Forward-side relative (R·H, W·H) mask + (.., K·H) bias selector:
+    query timestep qr (window row prow+qr) attends key timesteps at lags
+    {0, dt, …, (K-1)·dt}, every height position. Selector tap index
+    b·H + key-col with b = K-1 the own timestep (matches the flattened
+    AxialPositionalEmbedding((K, H)) table and the gather path)."""
+    Rfw, Wfw = R * H, W * H
+    mask = np.zeros((Rfw, Wfw), dtype=bool)
+    sel = np.zeros((Rfw, Wfw, K * H), dtype=np.float32)
+    for qr in range(R):
+        for j in range(K):
+            wr = prow + qr - j * dt
+            if wr < 0 or wr >= W:
+                continue
+            b = K - 1 - j
+            for kc in range(H):
+                ki = wr * H + kc
+                mask[qr * H : (qr + 1) * H, ki] = True
+                sel[qr * H : (qr + 1) * H, ki, b * H + kc] = 1.0
+    return mask, sel
+
+
+@functools.lru_cache(maxsize=None)
+def _audio_rb_bwd_masks_np(H, K, dt, R, NB):
+    """Key-block-vs-query-block masks for the kv backward: for key block
+    rows [rk0, rk0+R) the contributing query blocks start at rk0 + rbq·R;
+    key row kl hears query row ql of block rbq iff the timestep lag
+    rbq·R + ql - kl lands on the dilated kernel."""
+    Rfw = R * H
+    mask = np.zeros((NB, Rfw, Rfw), dtype=bool)
+    sel = np.zeros((NB, Rfw, Rfw, K * H), dtype=np.float32)
+    for rbq in range(NB):
+        for ql in range(R):
+            for j in range(K):
+                kl = rbq * R + ql - j * dt
+                if kl < 0 or kl >= R:
+                    continue
+                b = K - 1 - j
+                for kc in range(H):
+                    ki = kl * H + kc
+                    mask[rbq, ql * H : (ql + 1) * H, ki] = True
+                    sel[rbq, ql * H : (ql + 1) * H, ki, b * H + kc] = 1.0
+    return mask, sel
+
+
+def _audio_rb_tensors(mod, p_sub, heads, geo):
+    """maskf + differentiable sbias (+ zero fbias) for the audio rb path."""
+    mask_np, sel_np = _audio_rb_masks_np(
+        geo["H"], mod.kernel_size, mod.dilation, geo["R"], geo["W"],
+        geo["prow"],
+    )
+    maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+    if mod.rel_pos_bias:
+        table = mod.bias_module(p_sub["rel_pos_bias"])  # (K*H, heads)
+        sbias = jnp.einsum(
+            "qkt,th->hqk", jnp.asarray(sel_np, jnp.float32), table
+        )
+    else:
+        sbias = jnp.zeros((1, geo["Rfw"], geo["Wfw"]), jnp.float32)
+    fbias = jnp.zeros((heads, 1), jnp.float32)
+    th_w = p_sub["talking_heads"].astype(jnp.float32)
+    return maskf, sbias, fbias, th_w
+
+
+def _audio_rb_core_op(mod, t: int, drop_rate=0.0):
+    """custom_vjp core on the generic row-blocked kernels with audio masks.
+    Signature mirrors ``_rb_core_op`` (sbias/fbias enter as differentiable
+    inputs so the axial-bias parameter grad chains through the einsum)."""
+
+    def geo_and_mask(d_orig):
+        geo = _audio_rb_geometry(mod, t, d_orig)
+        mask_np, _ = _audio_rb_masks_np(
+            geo["H"], mod.kernel_size, mod.dilation, geo["R"], geo["W"],
+            geo["prow"],
+        )
+        maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
+        return geo, maskf
+
+    def run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
+        geo, maskf = geo_and_mask(q.shape[-1])
+        kpad, vpad = _rb_pad_frames(geo, k, v)
+        return _rb_fwd_call(
+            mod, geo, t, q, k_bos, v_bos, maskf, sbias, fbias, th_w, kpad,
+            vpad, seed=seed, drop_rate=drop_rate,
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)
+        return out, (q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed, lse = res
+        geo, maskf = geo_and_mask(q.shape[-1])
+        kpad, vpad = _rb_pad_frames(geo, k, v)
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dsb, dfb = _rb_bwd_q_call(
+            mod, geo, t, q, gout, lse, k_bos, v_bos, maskf, sbias, fbias,
+            th_w, kpad, vpad, seed=seed, drop_rate=drop_rate,
+        )
+        R, prow = geo["R"], geo["prow"]
+        NB = (R - 1 + prow) // R + 1
+        maskb_np, selb_np = _audio_rb_bwd_masks_np(
+            geo["H"], mod.kernel_size, mod.dilation, R, NB
+        )
+        maskb = jnp.asarray(np.where(maskb_np, 0.0, -np.inf), jnp.float32)
+        geo["NB"] = NB
+        geo["nb_neg"] = 0
+        if mod.rel_pos_bias:
+            # recover the (K·H, heads) table from the q-side sbias via the
+            # one-hot forward selector (values are constant across scatter
+            # positions); parameter cotangent flows through dsb
+            _, sel_np = _audio_rb_masks_np(
+                geo["H"], mod.kernel_size, mod.dilation, R, geo["W"],
+                prow,
+            )
+            counts = np.maximum(sel_np.sum((0, 1)), 1.0)
+            tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
+            tab = tab / jnp.asarray(counts, jnp.float32)[:, None]
+            sbiasb = jnp.einsum(
+                "nqkt,th->nhqk", jnp.asarray(selb_np, jnp.float32), tab
+            )
+        else:
+            sbiasb = jnp.zeros((NB, 1, geo["Rfw"], geo["Rfw"]), jnp.float32)
+        dk, dv = _rb_bwd_kv_call(
+            mod, geo, t, q, gout, lse, rho, k, v, maskb,
+            jax.lax.stop_gradient(sbiasb), fbias, th_w,
+            seed=seed, drop_rate=drop_rate,
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dsb.astype(sbias.dtype),
+            jnp.transpose(dfb).astype(fbias.dtype),
+            dth.astype(th_w.dtype),
+            np.zeros((1,), dtype=jax.dtypes.float0),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _audio_rb_make_op(mod, t: int):
+    """Row-blocked audio op with the same call surface as the whole-frame
+    ``sparse_2dna_pallas_vjp`` op."""
+    core = _audio_rb_core_op(mod, t, drop_rate=mod.dropout)
+    core_nodrop = (
+        _audio_rb_core_op(mod, t, drop_rate=0.0) if mod.dropout else core
+    )
+
+    def op(p_sub, q, k, v, k_bos, v_bos, seed=None):
+        d_orig = q.shape[-1]
+        geo = _audio_rb_geometry(mod, t, d_orig)
+        total = geo["HW"]
+        maskf, sbias, fbias, th_w = _audio_rb_tensors(
+            mod, p_sub, mod.heads, geo
+        )
+
+        def tok_pad(a):
+            n = a.shape[2]
+            if n < total:
+                return jnp.pad(a, ((0, 0), (0, 0), (0, total - n), (0, 0)))
+            return a[:, :, :total]
+
+        q, k, v = tok_pad(q), tok_pad(k), tok_pad(v)
+        q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
+        if seed is None:  # inference: no dropout
+            out = core_nodrop(
+                q, k, v, k_bos, v_bos, sbias, fbias, th_w,
+                jnp.zeros((1,), jnp.int32),
+            )
+        else:
+            out = core(q, k, v, k_bos, v_bos, sbias, fbias, th_w, seed)
+        return out[:, :, :t, :d_orig]
+
     return op
 
 
@@ -2267,23 +2507,504 @@ def _cross_core_op(mod, t: int, Lc: int):
     return core
 
 
+# ---------------------------------------------------------------------------
+# SparseCross2DNA, fused single-block kernels
+#
+# The per-frame cross kernels above are launch-bound: grid (b, F) blocks
+# each do tiny (HW, d) x (d, HW) dots and re-DMA the same Fc context frames
+# F times. But every query frame attends the SAME context, so the whole
+# query sequence can ride ONE grid step per batch element: q enters as
+# (1, h, F·HW, d), the context sits in VMEM whole, each tap is a single
+# (F·HW, d) x (d, HW) MXU dot, and the spatial mask tiles down the query-
+# frame axis. The backward fuses both halves (dq/rho and dk/dv) in one
+# kernel — dk_j/dv_j are single (HW, F·HW) x (F·HW, d) dots instead of the
+# old serial per-query-frame DMA loop. In-kernel dropout uses the absolute-
+# coordinate stateless masks (VERDICT r3 #2).
+# ---------------------------------------------------------------------------
+
+
+def _xfused_kernel(
+    q_ref,        # (1, h, Tq, d) VMEM — all query frames, pre-scaled
+    kbos_ref,     # (1, h, 1, d)
+    vbos_ref,     # (1, h, 1, d)
+    cbias_ref,    # (1, 1, HW, HW) VMEM — shared centered spatial mask
+    th_ref,       # talking heads
+    seed_ref,     # (1,) SMEM
+    cmask_ref,    # (1, 1, Lc) VMEM additive runtime key mask
+    k_ref,        # (1, h, Lc, d) VMEM — whole context
+    v_ref,        # (1, h, Lc, d) VMEM
+    out_ref,      # (1, h, Tq, d)
+    lse_ref,      # (1, h, Tq)
+    p_buf, m_buf, acc,
+    *,
+    Fc: int,
+    F: int,
+    HW: int,
+    heads: int,
+    dim_head: int,
+    drop_rate: float = 0.0,
+):
+    bi = pl.program_id(0)
+    f32 = jnp.float32
+    keep = 1.0 - drop_rate
+
+    def drop_abs(x, k_base):
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask_abs(x.shape, keep, seed_ref[0], bi, 0, k_base)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
+
+    q = q_ref[0].astype(f32)                       # (h, Tq, d)
+    bias = cbias_ref[0, 0].astype(f32)             # (HW, HW)
+    bias_t = jnp.concatenate([bias] * F, axis=0)   # (Tq, HW) — static tile
+
+    def tap_scores(j):
+        kmat = k_ref[0][:, j * HW : (j + 1) * HW, :].astype(f32)
+        s = jax.lax.dot_general(
+            q, kmat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (h, Tq, HW)
+        s = s + bias_t[None]
+        s = s + cmask_ref[0, :, j * HW : (j + 1) * HW][None]
+        return s
+
+    # pass 1: scores + running max
+    m_buf[...] = jnp.full(m_buf.shape, -1e30, f32)
+    for j in range(Fc):
+        s = tap_scores(j)
+        p_buf[j] = s.astype(_CACHE_DTYPE)
+        m_buf[...] = jnp.maximum(m_buf[...], jnp.max(s, axis=-1))
+    s_bos = jnp.sum(q * kbos_ref[0].astype(f32), axis=-1)  # (h, Tq)
+    m = jnp.maximum(m_buf[...], s_bos)
+
+    # pass 2: exp, denom, talking-heads, PV
+    p_bos = jnp.exp(s_bos - m)
+    denom = p_bos
+    for j in range(Fc):
+        pj = jnp.exp(p_buf[j].astype(f32) - m[..., None])
+        p_buf[j] = pj.astype(_CACHE_DTYPE)
+        denom = denom + jnp.sum(pj, axis=-1)
+    inv = 1.0 / denom
+    lse_ref[0] = m + jnp.log(denom)
+
+    acc[...] = jnp.zeros(acc.shape, f32)
+    for j in range(Fc):
+        vmat = v_ref[0][:, j * HW : (j + 1) * HW, :].astype(f32)
+        attn = p_buf[j].astype(f32) * inv[..., None]
+        attn = _mix3(th_ref, attn, heads)
+        attn = drop_abs(attn, j * HW)
+        acc[...] += jax.lax.dot_general(
+            attn, vmat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+    ab = _mix2(th_ref, p_bos * inv, heads)
+    ab = drop_abs(ab[..., None], -2)[..., 0]
+    out = acc[...] + ab[..., None] * vbos_ref[0].astype(f32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _xfused_bwd_kernel(
+    lse_ref,      # (1, h, Tq)
+    kbos_ref, vbos_ref,
+    cbias_ref,    # (1, 1, HW, HW)
+    th_ref,
+    seed_ref,
+    cmask_ref,    # (1, 1, Lc)
+    k_ref, v_ref,  # (1, h, Lc, d)
+    q_hbm, g_hbm,  # (b, h, Tq, d) ANY — streamed per chunk (VMEM budget)
+    dq_hbm, dk_ref, dv_ref, dkbos_ref, dvbos_ref, dth_ref,
+    rho_buf, dk_s, dv_s, qbuf, gbuf, dqbuf, sem,
+    *,
+    Fc: int,
+    F: int,
+    HW: int,
+    CF: int,   # query frames per in-kernel chunk (bounds VMEM temporaries)
+    heads: int,
+    dim_head: int,
+    drop_rate: float = 0.0,
+):
+    bi = pl.program_id(0)
+    f32 = jnp.float32
+    keep = 1.0 - drop_rate
+
+    def drop_abs(x, q_base, k_base):
+        if drop_rate <= 0.0:
+            return x
+        m = _keep_mask_abs(x.shape, keep, seed_ref[0], bi, q_base, k_base)
+        return jnp.where(m, x * (1.0 / keep), 0.0)
+
+    kbos = kbos_ref[0].astype(f32)
+    vbos = vbos_ref[0].astype(f32)
+    bias = cbias_ref[0, 0].astype(f32)
+
+    def tap_kv(j):
+        return (
+            k_ref[0][:, j * HW : (j + 1) * HW, :].astype(f32),
+            v_ref[0][:, j * HW : (j + 1) * HW, :].astype(f32),
+        )
+
+    # static chunk grid over query frames: temporaries are (h, CF*HW, HW)
+    # instead of (h, F*HW, HW); scores recompute per pass (flash-style).
+    # q/gout stream from HBM per chunk (full-Tq VMEM blocks would
+    # double-buffer past the 128 MiB budget at b=8 F=10); the copies are
+    # ~µs against a chunk's matmul work, so they run serially.
+    chunks = [(c0, min(CF, F - c0)) for c0 in range(0, F, CF)]
+
+    def chunk_vals(ci):
+        c0, cf = chunks[ci]
+        r0, rn = c0 * HW, cf * HW
+        cps = [
+            pltpu.make_async_copy(
+                q_hbm.at[bi, :, pl.ds(r0, rn), :],
+                qbuf.at[:, pl.ds(0, rn), :], sem.at[0],
+            ),
+            pltpu.make_async_copy(
+                g_hbm.at[bi, :, pl.ds(r0, rn), :],
+                gbuf.at[:, pl.ds(0, rn), :], sem.at[1],
+            ),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        q_c = qbuf[:, :rn, :].astype(f32)
+        go_c = gbuf[:, :rn, :].astype(f32)
+        lse_c = lse_ref[0][:, r0 : r0 + rn].astype(f32)
+        bias_c = jnp.concatenate([bias] * cf, axis=0)
+        return q_c, go_c, lse_c, bias_c
+
+    def tap_p(j, kmat, q_c, lse_c, bias_c):
+        s = jax.lax.dot_general(
+            q_c, kmat, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        s = s + bias_c[None]
+        s = s + cmask_ref[0, :, j * HW : (j + 1) * HW][None]
+        s = s.astype(_CACHE_DTYPE).astype(f32)  # match the fwd's rounding
+        return jnp.exp(s - lse_c[..., None])
+
+    # ---- pass 1: rho (per-row sum of p * dP, incl. bos) -----------------
+    for ci, (c0, cf) in enumerate(chunks):
+        q_c, go_c, lse_c, bias_c = chunk_vals(ci)
+        s_bos = jnp.sum(q_c * kbos, axis=-1)
+        p_bos = jnp.exp(s_bos - lse_c)
+        dA_bos = jnp.sum(go_c * vbos, axis=-1)
+        dA_bos = drop_abs(dA_bos[..., None], c0 * HW, -2)[..., 0]
+        dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+        rho_c = p_bos * dp_bos
+        for j in range(Fc):
+            kmat, vmat = tap_kv(j)
+            pj = tap_p(j, kmat, q_c, lse_c, bias_c)
+            dA = jax.lax.dot_general(
+                go_c, vmat, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dA = drop_abs(dA, c0 * HW, j * HW)
+            dP = _mix3(th_ref, dA, heads, transpose=True)
+            rho_c = rho_c + jnp.sum(pj * dP, axis=-1)
+        rho_buf[:, c0 * HW : (c0 + cf) * HW] = rho_c
+
+    # ---- pass 2: dq / dk / dv / dth / bos grads -------------------------
+    dk_s[...] = jnp.zeros(dk_s.shape, f32)
+    dv_s[...] = jnp.zeros(dv_s.shape, f32)
+    dth_acc = None
+    dkbos_acc = None
+    dvbos_acc = None
+    for ci, (c0, cf) in enumerate(chunks):
+        q_c, go_c, lse_c, bias_c = chunk_vals(ci)
+        rho_c = rho_buf[:, c0 * HW : (c0 + cf) * HW]
+        s_bos = jnp.sum(q_c * kbos, axis=-1)
+        p_bos = jnp.exp(s_bos - lse_c)
+        dA_bos = jnp.sum(go_c * vbos, axis=-1)
+        dA_bos = drop_abs(dA_bos[..., None], c0 * HW, -2)[..., 0]
+        dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+        ds_bos = p_bos * (dp_bos - rho_c)
+        dq_acc = ds_bos[..., None] * kbos
+        dth_c = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
+        for j in range(Fc):
+            kmat, vmat = tap_kv(j)
+            pj = tap_p(j, kmat, q_c, lse_c, bias_c)
+            dA = jax.lax.dot_general(
+                go_c, vmat, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dA = drop_abs(dA, c0 * HW, j * HW)
+            dP = _mix3(th_ref, dA, heads, transpose=True)
+            dS = pj * (dP - rho_c[..., None])
+            dq_acc = dq_acc + jax.lax.dot_general(
+                dS, kmat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dk_s[:, j * HW : (j + 1) * HW, :] += jax.lax.dot_general(
+                dS, q_c, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            a_mixed = drop_abs(_mix3(th_ref, pj, heads), c0 * HW, j * HW)
+            dv_s[:, j * HW : (j + 1) * HW, :] += jax.lax.dot_general(
+                a_mixed, go_c, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dth_c = dth_c + _pair_contract(dA, pj, heads)
+        dqbuf[:, : cf * HW, :] = dq_acc.astype(dqbuf.dtype)
+        cp = pltpu.make_async_copy(
+            dqbuf.at[:, pl.ds(0, cf * HW), :],
+            dq_hbm.at[bi, :, pl.ds(c0 * HW, cf * HW), :], sem.at[2],
+        )
+        cp.start()
+        cp.wait()
+        kb_c = _outer_hq_hqd(ds_bos, q_c)
+        a_bos = drop_abs(
+            _mix2(th_ref, p_bos, heads)[..., None], c0 * HW, -2
+        )[..., 0]
+        vb_c = _outer_hq_hqd(a_bos, go_c)
+        dth_acc = dth_c if dth_acc is None else dth_acc + dth_c
+        dkbos_acc = kb_c if dkbos_acc is None else dkbos_acc + kb_c
+        dvbos_acc = vb_c if dvbos_acc is None else dvbos_acc + vb_c
+
+    dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+    @pl.when(bi == 0)
+    def _():
+        dth_ref[...] = jnp.zeros(dth_ref.shape, dth_ref.dtype)
+
+    dth_ref[...] += dth_acc
+    # bos grads stay per-batch: the (b, h, 1, d) -> param reduction is the
+    # broadcast_to vjp outside the op
+    dkbos_ref[0, :, 0, :] = dkbos_acc.astype(dkbos_ref.dtype)
+    dvbos_ref[0, :, 0, :] = dvbos_acc.astype(dvbos_ref.dtype)
+
+
+def _xfused_fwd_call(mod, geo, q, k, v, k_bos, v_bos, cbias, th_w, cmask,
+                     seed=None, drop_rate=0.0):
+    b, h = q.shape[0], q.shape[1]
+    HW, d, Fc, F = geo["HW"], geo["d"], geo["Fk"], geo["F"]
+    Tq = F * HW
+    Lc = Fc * HW
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    kernel = functools.partial(
+        _xfused_kernel,
+        Fc=Fc, F=F, HW=HW, heads=h, dim_head=d, drop_rate=drop_rate,
+    )
+    full = lambda bi: (bi, 0, 0, 0)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, Tq, d), full, memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # k_bos
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # v_bos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                        # cbias
+            _th_spec(h),                                                  # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                        # seed
+            pl.BlockSpec((1, 1, Lc), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),                        # cmask
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # v
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, Tq, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, Tq), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, Tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, Tq), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Fc, h, Tq, HW), _CACHE_DTYPE),  # p_buf
+            pltpu.VMEM((h, Tq), jnp.float32),           # m_buf
+            pltpu.VMEM((h, Tq, d), jnp.float32),        # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k_bos, v_bos, cbias, th_w, seed, cmask, k, v)
+    return out, lse
+
+
+def _xfused_bwd_call(mod, geo, q, gout, lse, k, v, k_bos, v_bos, cbias,
+                     th_w, cmask, seed=None, drop_rate=0.0):
+    b, h = q.shape[0], q.shape[1]
+    HW, d, Fc, F = geo["HW"], geo["d"], geo["Fk"], geo["F"]
+    Tq = F * HW
+    Lc = Fc * HW
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    CF = max(1, 1024 // HW)  # ~1024-row chunks bound the f32 temporaries
+    kernel = functools.partial(
+        _xfused_bwd_kernel,
+        Fc=Fc, F=F, HW=HW, CF=CF, heads=h, dim_head=d, drop_rate=drop_rate,
+    )
+    full = lambda bi: (bi, 0, 0, 0)
+    CQ = CF * HW
+    dq, dk, dv, dkbos, dvbos, dth = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, Tq), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),                        # lse
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # k_bos
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # v_bos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                        # cbias
+            _th_spec(h),                                                  # th
+            pl.BlockSpec(memory_space=pltpu.SMEM),                        # seed
+            pl.BlockSpec((1, 1, Lc), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),                        # cmask
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec(memory_space=pl.ANY),                            # q
+            pl.BlockSpec(memory_space=pl.ANY),                            # gout
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),                            # dq
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # dk
+            pl.BlockSpec((1, h, Lc, d), full, memory_space=pltpu.VMEM),   # dv
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # dkbos
+            pl.BlockSpec((1, h, 1, d), full, memory_space=pltpu.VMEM),    # dvbos
+            pl.BlockSpec(memory_space=pltpu.VMEM),                        # dth
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, Tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, Lc, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, Lc, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, Tq), jnp.float32),           # rho_buf
+            pltpu.VMEM((h, Lc, d), jnp.float32),        # dk accumulator
+            pltpu.VMEM((h, Lc, d), jnp.float32),        # dv accumulator
+            pltpu.VMEM((h, CQ, d), q.dtype),            # qbuf
+            pltpu.VMEM((h, CQ, d), q.dtype),            # gbuf
+            pltpu.VMEM((h, CQ, d), q.dtype),            # dqbuf
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(lse, k_bos, v_bos, cbias, th_w, seed, cmask, k, v, q, gout)
+    return dq, dk, dv, dkbos, dvbos, dth
+
+
+def xfused_ok(mod, t: int, Lc: int):
+    """Whether the fused single-block cross kernels fit: the p_buf score
+    cache (Fc, h, F·HW, HW) must stay comfortably inside VMEM."""
+    HW = mod.image_size * mod.image_size
+    if Lc % HW:
+        return False
+    if jax.default_backend() == "tpu" and HW % 128:
+        return False  # Mosaic lane rule (interpret mode has no such limit)
+    Fc = Lc // HW
+    F = -(-t // HW)
+    cache_bytes = Fc * mod.heads * F * HW * HW * (
+        2 if _CACHE_DTYPE == jnp.bfloat16 else 4
+    )
+    return cache_bytes <= 48 * 1024 * 1024
+
+
+def _xfused_core_op(mod, t: int, Lc: int, drop_rate=0.0):
+    """custom_vjp core for the fused cross kernels (in-kernel dropout)."""
+
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed):
+        g = _cross_geometry(mod, t, Lc, q.shape[-1])
+        return _xfused_fwd_call(
+            mod, g, q, k, v, k_bos, v_bos, cbias, th_w, cmask,
+            seed=seed, drop_rate=drop_rate,
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, cbias, th_w, cmask, seed, lse = res
+        g = _cross_geometry(mod, t, Lc, q.shape[-1])
+        gout = gout.astype(q.dtype)
+        dq, dk, dv, dkbos, dvbos, dth = _xfused_bwd_call(
+            mod, g, q, gout, lse, k, v, k_bos, v_bos, cbias, th_w, cmask,
+            seed=seed, drop_rate=drop_rate,
+        )
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            jnp.zeros_like(cbias),  # constant spatial mask
+            dth.astype(th_w.dtype),
+            jnp.zeros_like(cmask),  # boolean-derived, non-differentiable
+            np.zeros((1,), dtype=jax.dtypes.float0),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _xfused_make_op(mod, t: int, Lc: int):
+    core = _xfused_core_op(mod, t, Lc, drop_rate=mod.dropout)
+    core_nodrop = (
+        _xfused_core_op(mod, t, Lc, drop_rate=0.0) if mod.dropout else core
+    )
+
+    def op(p_sub, q, k, v, k_bos, v_bos, cmask=None, seed=None):
+        d_orig = q.shape[-1]
+        geo = _cross_geometry(mod, t, Lc, d_orig)
+        total = geo["F"] * geo["HW"]
+        cbias = jnp.asarray(
+            _cross_mask_np(mod.image_size, mod.kernel_size, mod.dilation)
+        )[None, None]  # (1, 1, HW, HW)
+        th_w = p_sub["talking_heads"].astype(jnp.float32)
+        if cmask is None:
+            cm = jnp.zeros((q.shape[0], Lc), jnp.float32)
+        else:
+            cm = jnp.where(cmask, 0.0, -1e30).astype(jnp.float32)
+        if t < total:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, total - t), (0, 0)))
+        q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
+        cm = cm[:, None]  # (b, 1, Lc)
+        if seed is None:  # inference: no dropout
+            out = core_nodrop(
+                q, k, v, k_bos, v_bos, cbias, th_w, cm,
+                jnp.zeros((1,), jnp.int32),
+            )
+        else:
+            out = core(q, k, v, k_bos, v_bos, cbias, th_w, cm, seed)
+        return out[:, :, :t, :d_orig]
+
+    return op
+
+
 def sparse_cross_2dna_pallas_vjp(mod, t: int, Lc: int):
     """Differentiable cross-2DNA op ``f(p_sub, q, k, v, k_bos, v_bos,
-    cmask=None)``.
+    cmask=None, seed=None)``.
 
     q: (b, h, t, d) pre-scaled non-bos video queries; k/v: (b, h, Lc, d)
     context; k_bos/v_bos: the broadcast null k/v (the bos *query* row stays
     on the XLA path); cmask: optional (b, Lc) bool runtime context mask
     (classifier-free-guidance cond dropout / padded sketch frames), folded
-    in as an additive -1e30 tensor. Requires HW % 128 == 0, Lc a whole
-    number of context frames, and no attention dropout."""
+    in as an additive -1e30 tensor. Requires HW % 128 == 0 and Lc a whole
+    number of context frames. When the fused single-block kernels fit in
+    VMEM (the common case) they are used — with in-kernel dropout via
+    ``seed``; the per-frame kernels below are the dropout-free fallback."""
     cache_key = ("cross", mod, t, Lc)
     if cache_key in _VJP_CACHE:
         return _VJP_CACHE[cache_key]
 
+    if xfused_ok(mod, t, Lc):
+        op = _xfused_make_op(mod, t, Lc)
+        _VJP_CACHE[cache_key] = op
+        return op
+
     core = _cross_core_op(mod, t, Lc)
 
-    def op(p_sub, q, k, v, k_bos, v_bos, cmask=None):
+    def op(p_sub, q, k, v, k_bos, v_bos, cmask=None, seed=None):
+        del seed  # per-frame fallback kernels are dropout-free
         d_orig = q.shape[-1]
         geo = _cross_geometry(mod, t, Lc, d_orig)
         total = geo["F"] * geo["HW"]

@@ -48,6 +48,20 @@ from .ops.utils import cast_tuple, masked_fill, max_neg_value, mult_reduce, stab
 # ---------------------------------------------------------------------------
 
 
+_WARNED_FALLBACKS = set()
+
+
+def _warn_dense_fallback(msg: str):
+    """One-time (per message) warning when backend='auto' silently falls
+    back from the Pallas kernel to the dense XLA path (VERDICT r3 #6: the
+    cliff must be visible)."""
+    if msg not in _WARNED_FALLBACKS:
+        _WARNED_FALLBACKS.add(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
 def _axis_neighbors(size: int, k: int, dilation: int, mode: str):
     """Per-axis neighbor coordinates (size, k̃) + validity, as numpy.
 
@@ -117,6 +131,34 @@ def gather_neighbors(t, idx):
 # ---------------------------------------------------------------------------
 
 
+def _coord_keep_mask(seed, keep, b, h, q_ids, k_ids, b_base=0):
+    """(b, h, n, Kn) Bernoulli(keep) mask keyed by absolute (batch, head,
+    query-token, key-token) ids — the jnp twin of the Pallas kernels'
+    ``_keep_mask_abs`` (same hash constants), so realized dropout masks are
+    independent of shard layout: context-parallel shards regenerate exactly
+    the bits the unsharded gather path draws. ``q_ids``: (n,) global query
+    token ids; ``k_ids``: (n, Kn) global key token ids (invalid slots may be
+    negative — they are -inf-masked before softmax so their bits are moot);
+    ``b_base``: global index of the first local batch row (DPxCP)."""
+    u32 = jnp.uint32
+
+    def _h(x):
+        x = (x ^ (x >> 16)) * u32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * u32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    s0 = jnp.asarray(seed).reshape(()).astype(u32) * u32(0x9E3779B9)
+    bi = (jnp.arange(b, dtype=jnp.int32) + b_base).astype(u32)
+    s = _h(s0 + bi + u32(0x85EBCA6B))[:, None, None, None]
+    hh = jnp.arange(h, dtype=jnp.int32).astype(u32)[None, :, None, None]
+    qa = q_ids.astype(u32)[None, None, :, None]
+    ka = k_ids.astype(u32)[None, None, :, :]
+    e = qa * u32(0x27D4EB2F) ^ ka * u32(0x165667B1) ^ hh * u32(0x9E3779B9)
+    bits = _h(e ^ s)
+    thresh = np.uint32(min(0xFFFFFFFF, int(round((1.0 - keep) * 2**32))))
+    return bits >= thresh
+
+
 def _nda_attend(
     q,  # (b, h, n, d) scaled
     k_nb,  # (b, h, n, Kn, d)
@@ -128,6 +170,8 @@ def _nda_attend(
     th_w,  # talking heads weight (h, h)
     drop_rate=0.0,
     drop_key=None,
+    drop_ids=None,  # (seed, q_ids (n,), k_ids (n, Kn)): coordinate-keyed
+    b_base=0,
 ):
     neg = max_neg_value(jnp.float32)
     sim = jnp.einsum("bhid,bhijd->bhij", q, k_nb)
@@ -141,7 +185,20 @@ def _nda_attend(
 
     attn = stable_softmax(sim, axis=-1)
     attn = talking_heads(attn, th_w)
-    attn = dropout(attn, drop_rate, drop_key)
+    if drop_rate > 0.0 and drop_ids is not None:
+        seed, q_ids, k_ids = drop_ids
+        if k_bos is not None:  # bos column: sentinel id -2 (as the kernels)
+            k_ids = jnp.concatenate(
+                [jnp.full((k_ids.shape[0], 1), -2, k_ids.dtype), k_ids],
+                axis=1,
+            )
+        keep = 1.0 - drop_rate
+        m = _coord_keep_mask(
+            seed, keep, attn.shape[0], attn.shape[1], q_ids, k_ids, b_base
+        )
+        attn = jnp.where(m, attn * (1.0 / keep), 0.0)
+    else:
+        attn = dropout(attn, drop_rate, drop_key)
     attn = attn.astype(v_nb.dtype)
 
     if v_bos is not None:
@@ -502,14 +559,29 @@ class Sparse3DNA(Module):
 
         if cp_mesh is not None:
             # context parallelism: frame-axis sharding with halo exchange of
-            # the (Kf-1)*dilation lookback frames over ICI (SURVEY §2.8)
-            assert self.dropout == 0.0 or key is None, (
-                "attention dropout is not implemented under context "
-                "parallelism — set attn_dropout=0 or disable context_parallel"
-            )
+            # the (Kf-1)*dilation lookback frames over ICI (SURVEY §2.8);
+            # centered kernels (sketch encoder) exchange halos both ways.
+            # Attention dropout rides through on absolute-coordinate masks.
             from .parallel.context_parallel import context_parallel_sparse_3dna
 
-            return context_parallel_sparse_3dna(self, p, x, cp_mesh, axis=cp_axis)
+            if isinstance(cp_axis, tuple):
+                frame_axis, data_axis = cp_axis
+            elif (
+                "context" in cp_mesh.axis_names
+                and cp_mesh.shape["context"] > 1
+            ):
+                # ('data', …, 'context') mesh: frames ride 'context' and the
+                # batch is sharded over 'data' (DPxCP compose)
+                frame_axis = "context"
+                data_axis = (
+                    "data" if cp_mesh.shape.get("data", 1) > 1 else None
+                )
+            else:
+                frame_axis, data_axis = cp_axis, None
+            return context_parallel_sparse_3dna(
+                self, p, x, cp_mesh, axis=frame_axis, key=key,
+                data_axis=data_axis,
+            )
 
         pad = (-t) % tokens_per_frame
         num_frames = (t + pad) // tokens_per_frame
@@ -562,6 +634,13 @@ class Sparse3DNA(Module):
                 (R * self.video_shape[2]) % 128 == 0 or not on_tpu
             )
             pallas_ok = want_pallas and shape_ok
+        if want_pallas and not shape_ok:
+            _warn_dense_fallback(
+                f"Sparse3DNA backend='auto': tokens_per_frame={tokens_per_frame} "
+                f"fails the Mosaic lane rule (HW % 128 needed), falling back to "
+                f"the dense XLA path — cheap at small fmaps, but not the Pallas "
+                f"kernel (docs/KERNELS.md)."
+            )
         if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas_vjp
 
@@ -609,17 +688,27 @@ class Sparse3DNA(Module):
                     p["talking_heads"], row_chunk,
                 )
         else:
+            # coordinate-keyed dropout masks (shard-layout independent —
+            # exactly what context_parallel_sparse_3dna regenerates)
+            drop_ids = None
+            if drop_active:
+                seed = jax.random.randint(
+                    key, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                drop_ids = (seed[0], jnp.arange(t), idx)
             chunk_frames = self.query_num_frames_chunk
             if chunk_frames is None or chunk_frames >= num_frames:
                 k_nb = gather_neighbors(k, idx)
                 v_nb = gather_neighbors(v, idx)
                 out = _nda_attend(
                     q, k_nb, v_nb, valid, k_bos, v_bos, rel_bias,
-                    p["talking_heads"], self.dropout, key,
+                    p["talking_heads"], self.dropout, None,
+                    drop_ids=drop_ids,
                 )
             else:
                 out = self._chunked_attend(
-                    p, q, k, v, valid, idx, k_bos, v_bos, rel_bias, key
+                    p, q, k, v, valid, idx, k_bos, v_bos, rel_bias,
+                    drop_ids,
                 )
 
         out = jnp.concatenate([bos_v_out, out], axis=2)
@@ -627,7 +716,8 @@ class Sparse3DNA(Module):
             p["to_out"], merge_heads(out)
         )
 
-    def _chunked_attend(self, p, q, k, v, valid, idx, k_bos, v_bos, rel_bias, key):
+    def _chunked_attend(self, p, q, k, v, valid, idx, k_bos, v_bos, rel_bias,
+                        drop_ids=None):
         """Frame-chunked queries bound peak memory (reference :566-604),
         expressed as a python loop over static chunks (unrolled under jit —
         each chunk's gather stays small)."""
@@ -640,12 +730,21 @@ class Sparse3DNA(Module):
             q_c = q[:, :, start : start + size]
             idx_c = idx[start : start + size]
             valid_c = valid[start : start + size]
+            ids_c = None
+            if drop_ids is not None:
+                seed, q_ids, k_ids = drop_ids
+                ids_c = (
+                    seed,
+                    q_ids[start : start + size],
+                    k_ids[start : start + size],
+                )
             k_nb = gather_neighbors(k, idx_c)
             v_nb = gather_neighbors(v, idx_c)
             outs.append(
                 _nda_attend(
                     q_c, k_nb, v_nb, valid_c, k_bos, v_bos, rel_bias,
-                    p["talking_heads"], self.dropout, key,
+                    p["talking_heads"], self.dropout, None,
+                    drop_ids=ids_c,
                 )
             )
         return jnp.concatenate(outs, axis=2)
@@ -731,20 +830,39 @@ class SparseCausal2DNA(Module):
         k_bos, k = k[:, :, :1], k[:, :, 1:]
         v_bos, v = v[:, :, :1], v[:, :, 1:]
 
-        # fused Pallas path (timestep pseudo-frames, per-tap masks); same
-        # auto gating as Sparse3DNA; attention dropout runs in-kernel.
-        # The whole-frame kernel family is sized for HW <= 256: larger
-        # pseudo-frames (heights whose lcm with 128 is big, e.g. 5 -> 640)
-        # would blow the (kf, h, HW, HW) VMEM score buffers and do
-        # ~HW/(K*H) x overcompute — 'auto' falls back to gather there.
+        # fused Pallas path; same auto gating as Sparse3DNA; attention
+        # dropout runs in-kernel. Heights whose pseudo-frame lcm(H, 128)
+        # fits in 256 tokens run the whole-frame kernels (timestep
+        # pseudo-frames, per-tap masks); larger heights (3, 5, 6, …) run the
+        # row-blocked kernels (timestep rows, key-row windows). Only heights
+        # with lcm(H, 128) > 1024 still fall back to gather (VMEM bound).
         import math as _math
 
         pseudo_hw = 128 * (self.height // _math.gcd(self.height, 128))
+        kernel_ok = pseudo_hw <= 1024
+        if pseudo_hw > 256 and kernel_ok:
+            # row-blocked territory: the query block is R timesteps; strips
+            # much shorter than a block pad up to R and the overcompute eats
+            # the kernel's win (measured 0.90x e2e at T=32, R=128) — gather
+            # is faster there
+            R = pseudo_hw // self.height
+            timesteps = -(-t // self.height)
+            kernel_ok = timesteps >= R // 2
         want_pallas = self.use_pallas or (
             self.backend == "auto"
             and jax.default_backend() == "tpu"
-            and pseudo_hw <= 256
+            and kernel_ok
         )
+        if (
+            self.backend == "auto"
+            and jax.default_backend() == "tpu"
+            and not kernel_ok
+        ):
+            _warn_dense_fallback(
+                f"SparseCausal2DNA backend='auto': height={self.height} has "
+                f"lcm(height, 128) = {pseudo_hw} > 1024, falling back to the "
+                f"gather path (docs/KERNELS.md)."
+            )
         if want_pallas:
             from .kernels.nda_pallas import sparse_2dna_pallas_vjp
 
@@ -906,19 +1024,30 @@ class SparseCross2DNA(Module):
         # runtime context mask (CFG cond dropout / padded sketch frames)
         # rides into the kernel as an additive (b, Lc) tensor.
         on_tpu = jax.default_backend() == "tpu"
+        from .kernels.nda_pallas import xfused_ok
+
+        # dropout needs the fused single-block kernels (absolute-coordinate
+        # in-kernel masks); the per-frame fallback kernels are dropout-free
+        drop_active = self.dropout > 0.0 and key is not None
         pallas_ok = (
             (self.use_pallas or (self.backend in ("auto", "pallas") and on_tpu))
             and (tokens_per_frame % 128 == 0 or not on_tpu)
             and context_len % tokens_per_frame == 0
-            and self.dropout == 0.0
+            and (self.dropout == 0.0 or xfused_ok(self, t, context_len))
         )
         if pallas_ok:
             from .kernels.nda_pallas import sparse_cross_2dna_pallas_vjp
 
+            seed = None
+            if drop_active:
+                seed = jax.random.randint(
+                    key, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
             op = sparse_cross_2dna_pallas_vjp(self, t, context_len)
             out = op(
                 {"talking_heads": p["talking_heads"]}, q, k, v, null_k, null_v,
                 cmask=context_mask if mask_provided else None,
+                seed=seed,
             )
             out = jnp.concatenate([out_bos, out.astype(out_bos.dtype)], axis=2)
             return Dense(self.inner_dim, self.dim)(p["to_out"], merge_heads(out))

@@ -13,14 +13,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh. ``data=-1`` consumes the remainder."""
+def make_mesh(data: int = -1, model: int = 1, context: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh — or ('data', 'model', 'context') when
+    ``context > 1`` (DPxCP: batch over 'data', frame-axis context
+    parallelism over 'context'). ``data=-1`` consumes the remainder."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * context) == 0, (
+            f"{n} devices not divisible by model*context={model * context}"
+        )
+        data = n // (model * context)
+    assert data * model * context == n, (
+        f"mesh {data}x{model}x{context} != {n} devices"
+    )
+    if context > 1:
+        arr = np.asarray(devices).reshape(data, model, context)
+        return Mesh(arr, ("data", "model", "context"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

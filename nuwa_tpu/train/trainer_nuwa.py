@@ -77,7 +77,10 @@ class NUWATrainer:
         self.context_parallel = context_parallel
         if context_parallel:
             assert mesh is not None, "context_parallel requires a mesh"
-        if mesh is not None and not context_parallel:
+        if mesh is not None and (
+            not context_parallel
+            or "context" in getattr(mesh, "axis_names", ())
+        ):
             dp = mesh.shape.get("data", 1)
             assert batch_size % dp == 0, (
                 f"batch_size {batch_size} not divisible by data axis {dp}"
@@ -166,15 +169,18 @@ class NUWATrainer:
             return jnp.asarray(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        # under context parallelism the 'data' axis carries the *frame*
-        # sharding inside the attention shard_map; batch stays replicated.
-        # Cost note: everything OUTSIDE the 3DNA shard_map (embeddings, FFs,
-        # cross-attn, logits, loss, grads) is then computed redundantly on
-        # every device — CP buys attention sequence-memory/compute scaling,
-        # not end-to-end speedup, at this mesh shape. Composing CP with
-        # batch sharding needs a second mesh axis (use mesh=(data, model)
-        # and context_parallel over a dedicated axis in a custom step).
-        if self.context_parallel:
+        # Context parallelism: on a legacy ('data', 'model') mesh the 'data'
+        # axis carries the *frame* sharding inside the attention shard_map
+        # and the batch stays replicated (everything outside attention is
+        # computed redundantly). On a ('data', 'model', 'context') mesh
+        # (make_mesh(context=...)) frames ride 'context' and the batch IS
+        # sharded over 'data' — DPxCP: the layers outside attention shard by
+        # batch through normal jit propagation.
+        cp_legacy = (
+            self.context_parallel
+            and "context" not in getattr(self.mesh, "axis_names", ())
+        )
+        if cp_legacy:
             spec = P()
         else:
             spec = P(None, "data", *([None] * (arr.ndim - 2)))

@@ -285,8 +285,8 @@ def test_pallas_sixteen_heads_dot_mix():
 
 @pytest.mark.parametrize(
     "H,K,dil",
-    [(1, 3, 1), (3, 3, 1), (4, 5, 2)],
-    ids=["h1", "h3-lane384", "h4-dilated"],
+    [(1, 3, 1), (3, 3, 1), (4, 5, 2), (5, 5, 1)],
+    ids=["h1", "h3-lane384", "h4-dilated", "h5-rowblocked640"],
 )
 def test_pallas_audio_2dna_forward(H, K, dil):
     """SparseCausal2DNA on the per-tap whole-frame kernel (timesteps grouped
@@ -685,6 +685,72 @@ def test_pallas_row_blocked_dropout():
             ) / (2 * eps)
             ana = float(np.sum(np.asarray(g, np.float64) * d))
             np.testing.assert_allclose(num, ana, rtol=2e-3, atol=2e-3)
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
+def test_pallas_cross_2dna_dropout():
+    """In-kernel dropout on the fused cross kernels: keyless calls equal the
+    no-dropout kernel; keyed calls vary; and the fused backward matches
+    central finite differences (fwd/bwd regenerate the same absolute-
+    coordinate masks)."""
+    import nuwa_tpu.kernels.nda_pallas as K
+    from nuwa_tpu.nda import SparseCross2DNA
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod0 = SparseCross2DNA(
+            dim=16, image_size=4, heads=2, dim_head=8, kernel_size=3,
+            use_pallas=True,
+        )
+        mod = mod0.replace(dropout=0.3)
+        p = mod.init(KEY)
+        t = 2 * 16 + 5
+        x = jax.random.normal(KEY, (1, 1 + t, 16))
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 2 * 16, 16))
+        key = jax.random.PRNGKey(5)
+
+        with pltpu.force_tpu_interpret_mode():
+            base = np.asarray(mod0(p, x, context=ctx))
+            np.testing.assert_array_equal(
+                np.asarray(mod(p, x, context=ctx)), base
+            )
+            a = np.asarray(mod(p, x, context=ctx, key=jax.random.PRNGKey(0)))
+            b = np.asarray(mod(p, x, context=ctx, key=jax.random.PRNGKey(1)))
+        assert not np.allclose(a, b)
+        assert not np.allclose(a, base)
+
+        def f(w):
+            with pltpu.force_tpu_interpret_mode():
+                return float(
+                    jnp.sum(
+                        mod({**p, "talking_heads": w}, x, context=ctx,
+                            key=key) ** 2
+                    )
+                )
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(
+                lambda w: jnp.sum(
+                    mod({**p, "talking_heads": w}, x, context=ctx,
+                        key=key) ** 2
+                )
+            )(p["talking_heads"])
+
+        rng = np.random.default_rng(1)
+        w0 = np.asarray(p["talking_heads"], np.float64)
+        eps = 1e-3
+        d = rng.normal(size=w0.shape)
+        d /= np.linalg.norm(d)
+        num = (
+            f(jnp.asarray(w0 + eps * d, jnp.float32))
+            - f(jnp.asarray(w0 - eps * d, jnp.float32))
+        ) / (2 * eps)
+        ana = float(np.sum(np.asarray(g, np.float64) * d))
+        np.testing.assert_allclose(num, ana, rtol=2e-3, atol=2e-4)
     finally:
         K._CACHE_DTYPE = old
         K._VJP_CACHE.clear()

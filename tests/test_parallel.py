@@ -482,19 +482,87 @@ def test_context_parallel_bos_only_input():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
-def test_context_parallel_rejects_attention_dropout():
-    """CP doesn't implement attention dropout — must fail loudly, not
-    silently train without it."""
-    model = _cp_model().replace(attn_dropout=0.1)
+def test_context_parallel_attention_dropout_parity():
+    """Attention dropout under CP: the absolute-coordinate masks make the
+    realized dropout independent of the shard layout, so the CP forward
+    with dropout is bit-identical (up to float error) to the unsharded
+    forward given the same key — and differs across keys."""
+    model = _cp_model().replace(attn_dropout=0.3)
     params = model.init(KEY)
     mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
     text = jax.random.randint(KEY, (2, 4), 1, 32)
     video = jax.random.randint(jax.random.PRNGKey(1), (2, 8 * 4), 0, 16)
-    with pytest.raises(AssertionError, match="dropout"):
-        model.forward(
-            params, text=text, video=video, return_loss=True,
-            cp_mesh=mesh, key=KEY, train=True,
+
+    loss_ref = model.forward(
+        params, text=text, video=video, return_loss=True, key=KEY, train=True
+    )
+    loss_cp = model.forward(
+        params, text=text, video=video, return_loss=True, cp_mesh=mesh,
+        key=KEY, train=True,
+    )
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+
+    other = model.forward(
+        params, text=text, video=video, return_loss=True, cp_mesh=mesh,
+        key=jax.random.PRNGKey(9), train=True,
+    )
+    assert abs(float(other) - float(loss_cp)) > 1e-6  # keys matter
+
+
+def test_context_parallel_centered_sketch_encoder():
+    """Centered 3DNA (the sketch encoder) under CP: bidirectional halo
+    exchange (lookback AND lookahead frames) must match the plain
+    forward."""
+    from nuwa_tpu.nda import Sparse3DNA
+
+    mod = Sparse3DNA(
+        dim=16, video_shape=(8, 2, 2), kernel_size=3, dilation=2,
+        heads=2, dim_head=8, causal=False, rel_pos_bias=True,
+    )
+    p = mod.init(KEY)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    x = jax.random.normal(KEY, (2, 1 + 8 * 4, 16))
+
+    ref = np.asarray(mod(p, x))
+    out = np.asarray(mod(p, x, cp_mesh=mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+    # ragged tail (phantom positions in the last frame, lookahead masked)
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 1 + 8 * 4 - 3, 16))
+    ref2 = np.asarray(mod(p, x2))
+    out2 = np.asarray(mod(p, x2, cp_mesh=mesh))
+    np.testing.assert_allclose(out2, ref2, atol=1e-5, rtol=1e-4)
+
+
+def test_nuwa_trainer_dp_x_cp(tmp_path):
+    """DPxCP on a ('data', 'model', 'context') mesh: batch sharded over
+    'data', frames over 'context' — losses must match the plain trainer."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = _cp_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=2, model=1, context=4)
+
+    def mk(folder, **kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=8 * 4, vocab=16),
+            num_train_steps=2, batch_size=2, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=5, resume=False, **kw,
         )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_plain = mk(tmp_path / "plain")
+    losses_plain = []
+    t_plain.train(log_fn=lambda logs: losses_plain.append(logs["loss"]))
+
+    t_cp = mk(tmp_path / "dpcp", mesh=mesh, context_parallel=True)
+    losses_cp = []
+    t_cp.train(log_fn=lambda logs: losses_cp.append(logs["loss"]))
+
+    np.testing.assert_allclose(losses_cp, losses_plain, rtol=2e-4)
 
 
 def test_vqgan_trainer_with_mesh(tmp_path):
