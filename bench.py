@@ -503,7 +503,7 @@ def main():
     except Exception as e:  # pragma: no cover
         line["train_b8_error"] = repr(e)[:200]
     try:
-        tr1k = bench_train_step(dim=1024, batch=8)
+        tr1k = bench_train_step(dim=1024, heads=16, batch=8)
         line["train_tokens_per_sec_dim1024_b8"] = round(
             tr1k["train_tokens_per_sec"], 2
         )

@@ -2612,7 +2612,7 @@ def _xfused_bwd_kernel(
     k_ref, v_ref,  # (1, h, Lc, d)
     q_hbm, g_hbm,  # (b, h, Tq, d) ANY — streamed per chunk (VMEM budget)
     dq_hbm, dk_ref, dv_ref, dkbos_ref, dvbos_ref, dth_ref,
-    rho_buf, dk_s, dv_s, qbuf, gbuf, dqbuf, sem,
+    dk_s, dv_s, qbuf, gbuf, dqbuf, sem,
     *,
     Fc: int,
     F: int,
@@ -2682,7 +2682,15 @@ def _xfused_bwd_kernel(
         s = s.astype(_CACHE_DTYPE).astype(f32)  # match the fwd's rounding
         return jnp.exp(s - lse_c[..., None])
 
-    # ---- pass 1: rho (per-row sum of p * dP, incl. bos) -----------------
+    # ---- single pass over chunks: rho needs only the chunk's OWN rows
+    # (the whole key set is VMEM-resident), so each tap's p / dA / dP are
+    # computed ONCE and kept live for the dS stage — half the score work of
+    # a two-pass structure
+    dk_s[...] = jnp.zeros(dk_s.shape, f32)
+    dv_s[...] = jnp.zeros(dv_s.shape, f32)
+    dth_acc = None
+    dkbos_acc = None
+    dvbos_acc = None
     for ci, (c0, cf) in enumerate(chunks):
         q_c, go_c, lse_c, bias_c = chunk_vals(ci)
         s_bos = jnp.sum(q_c * kbos, axis=-1)
@@ -2691,6 +2699,7 @@ def _xfused_bwd_kernel(
         dA_bos = drop_abs(dA_bos[..., None], c0 * HW, -2)[..., 0]
         dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
         rho_c = p_bos * dp_bos
+        taps = []
         for j in range(Fc):
             kmat, vmat = tap_kv(j)
             pj = tap_p(j, kmat, q_c, lse_c, bias_c)
@@ -2701,34 +2710,12 @@ def _xfused_bwd_kernel(
             dA = drop_abs(dA, c0 * HW, j * HW)
             dP = _mix3(th_ref, dA, heads, transpose=True)
             rho_c = rho_c + jnp.sum(pj * dP, axis=-1)
-        rho_buf[:, c0 * HW : (c0 + cf) * HW] = rho_c
-
-    # ---- pass 2: dq / dk / dv / dth / bos grads -------------------------
-    dk_s[...] = jnp.zeros(dk_s.shape, f32)
-    dv_s[...] = jnp.zeros(dv_s.shape, f32)
-    dth_acc = None
-    dkbos_acc = None
-    dvbos_acc = None
-    for ci, (c0, cf) in enumerate(chunks):
-        q_c, go_c, lse_c, bias_c = chunk_vals(ci)
-        rho_c = rho_buf[:, c0 * HW : (c0 + cf) * HW]
-        s_bos = jnp.sum(q_c * kbos, axis=-1)
-        p_bos = jnp.exp(s_bos - lse_c)
-        dA_bos = jnp.sum(go_c * vbos, axis=-1)
-        dA_bos = drop_abs(dA_bos[..., None], c0 * HW, -2)[..., 0]
-        dp_bos = _mix2(th_ref, dA_bos, heads, transpose=True)
+            taps.append((kmat, pj, dA, dP))
         ds_bos = p_bos * (dp_bos - rho_c)
         dq_acc = ds_bos[..., None] * kbos
         dth_c = _pair_contract(dA_bos[:, None, :], p_bos[:, None, :], heads)
         for j in range(Fc):
-            kmat, vmat = tap_kv(j)
-            pj = tap_p(j, kmat, q_c, lse_c, bias_c)
-            dA = jax.lax.dot_general(
-                go_c, vmat, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )
-            dA = drop_abs(dA, c0 * HW, j * HW)
-            dP = _mix3(th_ref, dA, heads, transpose=True)
+            kmat, pj, dA, dP = taps[j]
             dS = pj * (dP - rho_c[..., None])
             dq_acc = dq_acc + jax.lax.dot_general(
                 dS, kmat, (((2,), (1,)), ((0,), (0,))),
@@ -2831,7 +2818,9 @@ def _xfused_bwd_call(mod, geo, q, gout, lse, k, v, k_bos, v_bos, cbias,
     Lc = Fc * HW
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    CF = max(1, 1024 // HW)  # ~1024-row chunks bound the f32 temporaries
+    # ~1024-row chunks bound the f32 temporaries (kept per-tap, so scale
+    # down with the context frame count)
+    CF = max(1, 1024 // (HW * Fc))
     kernel = functools.partial(
         _xfused_bwd_kernel,
         Fc=Fc, F=F, HW=HW, CF=CF, heads=h, dim_head=d, drop_rate=drop_rate,
@@ -2873,7 +2862,6 @@ def _xfused_bwd_call(mod, geo, q, gout, lse, k, v, k_bos, v_bos, cbias,
             jax.ShapeDtypeStruct((h, h), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, Tq), jnp.float32),           # rho_buf
             pltpu.VMEM((h, Lc, d), jnp.float32),        # dk accumulator
             pltpu.VMEM((h, Lc, d), jnp.float32),        # dv accumulator
             pltpu.VMEM((h, CQ, d), q.dtype),            # qbuf
@@ -2927,8 +2915,8 @@ def _xfused_core_op(mod, t: int, Lc: int, drop_rate=0.0):
         g = _cross_geometry(mod, t, Lc, q.shape[-1])
         gout = gout.astype(q.dtype)
         dq, dk, dv, dkbos, dvbos, dth = _xfused_bwd_call(
-            mod, g, q, gout, lse, k, v, k_bos, v_bos, cbias, th_w, cmask,
-            seed=seed, drop_rate=drop_rate,
+            mod, g, q, gout, lse, k, v, k_bos, v_bos, cbias, th_w,
+            cmask, seed=seed, drop_rate=drop_rate,
         )
         return (
             dq,

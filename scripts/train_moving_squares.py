@@ -6,7 +6,12 @@ small enough for one TPU chip in a few minutes: a VQGAN codec on synthetic
 frames, NUWA on (direction-word, video) pairs, then text-conditioned
 generation written to docs/.
 
-Run: python scripts/train_moving_squares.py [--steps 300]
+Run: python scripts/train_moving_squares.py [--steps 300] [--size 256]
+
+``--size 256`` is the flagship-resolution demonstration (VERDICT r3 #7):
+256px frames through a 4-layer VAE (fmap 16 — the production token grid),
+GAN + random-VGG perceptual loss, NUWA on its indices, artifacts suffixed
+``_256px`` plus loss curves, all in docs/.
 """
 import argparse
 import sys
@@ -26,23 +31,25 @@ from nuwa_tpu.tokenizer import tokenizer
 from nuwa_tpu.utils.image import array_to_gif, save_image_grid
 
 DIRECTIONS = {
-    "right": (0, 2),
-    "down": (2, 0),
-    "left": (0, -2),
-    "up": (-2, 0),
+    "right": (0, 1),
+    "down": (1, 0),
+    "left": (0, -1),
+    "up": (-1, 0),
 }
 
 
-def device_batch_fn(frames=4, size=64, square=16, batch=4):
+def device_batch_fn(frames=4, size=64, square=None, batch=4):
     """Synthesize (text, video) batches ON DEVICE — host->device uploads are
     prohibitively slow through the tunnel, so data generation is jitted."""
+    square = square if square is not None else size // 4
+    step_px = 2 * (size // 64)  # velocity scales with resolution
     names = list(DIRECTIONS)
     toks = np.zeros((4, 2), np.int64)
     for i, name in enumerate(names):
         enc = tokenizer.encode(name)[:2]
         toks[i, : len(enc)] = enc
     toks = jnp.asarray(toks)
-    vels = jnp.asarray([DIRECTIONS[n] for n in names])  # (4, 2)
+    vels = jnp.asarray([DIRECTIONS[n] for n in names]) * step_px  # (4, 2)
 
     def make(key):
         kd, ky, kx, kc = jax.random.split(key, 4)
@@ -76,20 +83,25 @@ def main():
     ap.add_argument("--out", type=str, default=str(REPO / "docs"))
     ap.add_argument("--no-gan", action="store_true",
                     help="plain recon+VQ codec (skip GAN + perceptual)")
+    ap.add_argument("--size", type=int, default=64,
+                    help="frame resolution (64 = signs-of-life, 256 = flagship)")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
+    size = args.size
+    sfx = "" if size == 64 else f"_{size}px"
     frames = 4
-    make_batch = device_batch_fn(frames=frames)
+    make_batch = device_batch_fn(frames=frames, size=size)
 
     # ---- 1. codec ---------------------------------------------------------
     # full GAN mode with the random-feature perceptual loss (the documented
     # no-pretrained-weights stand-in for torchvision VGG16 — see
     # nuwa_tpu/perceptual.py); --no-gan selects the plain recon+VQ path
     use_gan = not args.no_gan
+    num_layers = 3 if size <= 64 else 4  # 256px -> fmap 16, the production grid
     vae = VQGanVAE(
-        dim=32, image_size=64, num_layers=3, vq_codebook_size=256,
+        dim=32, image_size=size, num_layers=num_layers, vq_codebook_size=256,
         vq_codebook_dim=32, use_vgg_and_gan=use_gan, perceptual="random_vgg",
         resnet_groups=8, use_attn=False, num_resnet_blocks=1,
         vq_kmeans_init=True,
@@ -115,7 +127,7 @@ def main():
     def vae_step(p, s, opt, dopt, key):
         dkey, dkey2, rng_key = jax.random.split(key, 3)
         _, vids = make_batch(dkey)
-        imgs = vids.reshape(-1, 3, 64, 64)
+        imgs = vids.reshape(-1, 3, size, size)
         gen, discr = split_gan(p)
 
         def gen_loss_fn(gen, s):
@@ -132,7 +144,7 @@ def main():
         dloss = jnp.asarray(0.0)
         if discr is not None:
             _, vids2 = make_batch(dkey2)
-            imgs2 = vids2.reshape(-1, 3, 64, 64)
+            imgs2 = vids2.reshape(-1, 3, size, size)
 
             def discr_loss_fn(discr):
                 params = dict(jax.lax.stop_gradient(gen))
@@ -149,9 +161,12 @@ def main():
         return p, s, opt, dopt, loss, dloss
 
     key = jax.random.PRNGKey(2)
+    vae_losses = []
     for step in range(args.steps):
         key, sub = jax.random.split(key)
         vp, vs, vopt, dopt, loss, dloss = vae_step(vp, vs, vopt, dopt, sub)
+        if step % 20 == 0:
+            vae_losses.append((step, float(loss)))
         if step % 100 == 0:
             msg = f"vae step {step}: loss {float(loss):.4f}"
             if use_gan:
@@ -161,10 +176,14 @@ def main():
 
     # reconstruction artifact (render on device, fetch the small grid once)
     _, vids = jax.jit(make_batch)(jax.random.PRNGKey(99))
-    imgs = vids.reshape(-1, 3, 64, 64)[:4]
+    imgs = vids.reshape(-1, 3, size, size)[:4]
     recon = jax.jit(lambda p, s, im: vae.forward(p, {"vq": s}, im))(vp, vs, imgs)
-    pair = np.stack([np.asarray(imgs), np.asarray(recon)], 1).reshape(-1, 3, 64, 64)
-    save_image_grid(pair.clip(0, 1), out / "vae_recon.png", nrow=2)
+    # fetch as uint8: device->host through the tunnel is slow, 4x smaller
+    to_u8 = jax.jit(lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8))
+    pair = np.stack(
+        [np.asarray(to_u8(imgs)), np.asarray(to_u8(recon))], 1
+    ).reshape(-1, 3, size, size).astype(np.float32) / 255.0
+    save_image_grid(pair, out / f"vae_recon{sfx}.png", nrow=2)
 
     # ---- 2. NUWA ----------------------------------------------------------
     model = NUWA(
@@ -191,12 +210,37 @@ def main():
         return optax.apply_updates(p, updates), opt, loss
 
     key = jax.random.PRNGKey(4)
+    nuwa_losses = []
     for step in range(args.steps * 2):
         key, sub = jax.random.split(key)
         params, nopt, loss = nuwa_step(params, nopt, sub)
+        if step % 20 == 0:
+            nuwa_losses.append((step, float(loss)))
         if step % 100 == 0:
             print(f"nuwa step {step}: loss {float(loss):.4f}", flush=True)
     print(f"nuwa final loss {float(loss):.4f}", flush=True)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(9, 3))
+        for ax, pts, title in (
+            (axes[0], vae_losses, "VQGAN-VAE loss"),
+            (axes[1], nuwa_losses, "NUWA loss"),
+        ):
+            xs, ys = zip(*pts)
+            ax.plot(xs, ys)
+            ax.set_title(title)
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(out / f"loss_curves{sfx}.png", dpi=100)
+        print(f"wrote {out}/loss_curves{sfx}.png", flush=True)
+    except ImportError:
+        np.savetxt(out / f"loss_curves{sfx}.csv",
+                   np.asarray([(s_, l) for s_, l in vae_losses + nuwa_losses]),
+                   header="step,loss")
 
     # ---- 3. generate ------------------------------------------------------
     for d in ("right", "down"):
@@ -205,10 +249,11 @@ def main():
         t[0, : len(enc)] = enc
         video = model.generate(params, text=jnp.asarray(t), key=jax.random.PRNGKey(7),
                                cond_scale=1.5)
-        arr = np.asarray(video[0]).clip(0, 1)
-        array_to_gif(arr, out / f"sample_{d}.gif")
-        save_image_grid(arr, out / f"sample_{d}.png", nrow=frames)
-        print(f"wrote {out}/sample_{d}.gif", flush=True)
+        u8 = jax.jit(lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8))(video[0])
+        arr = np.asarray(u8).astype(np.float32) / 255.0
+        array_to_gif(arr, out / f"sample_{d}{sfx}.gif")
+        save_image_grid(arr, out / f"sample_{d}{sfx}.png", nrow=frames)
+        print(f"wrote {out}/sample_{d}{sfx}.gif", flush=True)
 
 
 if __name__ == "__main__":
