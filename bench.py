@@ -503,7 +503,10 @@ def main():
     except Exception as e:  # pragma: no cover
         line["train_b8_error"] = repr(e)[:200]
     try:
-        tr1k = bench_train_step(dim=1024, heads=16, batch=8)
+        # flagship-dim row: dim_head 128 is the TPU-native head layout (no
+        # d-padding in the attention kernels; measured 1.6x faster than
+        # heads=16/dim_head=64 at dim 1024 — docs/BENCHMARKS.md round 4)
+        tr1k = bench_train_step(dim=1024, heads=8, dim_head=128, batch=8)
         line["train_tokens_per_sec_dim1024_b8"] = round(
             tr1k["train_tokens_per_sec"], 2
         )

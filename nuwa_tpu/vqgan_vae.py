@@ -295,6 +295,11 @@ class VQGanVAE(Module):
     first_conv_kernel_size: int = 5
     use_vgg_and_gan: bool = True
     perceptual: str = "vgg"  # "vgg" | "none"
+    # upper clamp on the adaptive GAN weight (reference :543 uses 1e4). When
+    # the discriminator saturates (gen grad -> 0) the ratio explodes and the
+    # 1e4 amplification can collapse the generator — cap it lower (e.g. 1.0)
+    # for stable high-resolution training
+    adaptive_weight_cap: float = 1e4
     # mixed precision: conv/attention activations run in this dtype (params
     # and optimizer stay fp32; norms/VQ/losses stay fp32 internally)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"
@@ -661,7 +666,9 @@ class VQGanVAE(Module):
         g_gen = jax.grad(head_gen)(w_last)["w"]
         norm_perc = jnp.sqrt(jnp.sum(g_perc**2))
         norm_gen = jnp.sqrt(jnp.sum(g_gen**2))
-        adaptive_weight = jnp.clip(norm_perc / (norm_gen + 1e-6), None, 1e4)
+        adaptive_weight = jnp.clip(
+            norm_perc / (norm_gen + 1e-6), None, self.adaptive_weight_cap
+        )
         adaptive_weight = jax.lax.stop_gradient(adaptive_weight)
 
         loss = recon_loss + perceptual_loss + commit_loss + adaptive_weight * gen_loss

@@ -135,6 +135,20 @@ def main():
         f"{b*(vtok+atok)/dt:.0f} tok/s (video {vtok} + audio {atok} tokens, "
         f"batch {b})", flush=True,
     )
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0:
+            # XLA-counted (reports 0 for Pallas custom calls -> a floor)
+            print(
+                f"XLA-counted MFU: {fl / dt / 197e12:.3f} "
+                f"({fl/1e12:.2f} TF/step; excludes Pallas kernel flops)",
+                flush=True,
+            )
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -105,6 +105,10 @@ def main():
         vq_codebook_dim=32, use_vgg_and_gan=use_gan, perceptual="random_vgg",
         resnet_groups=8, use_attn=False, num_resnet_blocks=1,
         vq_kmeans_init=True,
+        # synthetic high-contrast frames saturate the discriminator fast;
+        # the reference 1e4 cap then amplifies a vanishing generator grad
+        # and collapses the codec (observed at 256px) — cap at 1
+        adaptive_weight_cap=1.0,
     )
     vp = vae.init(jax.random.PRNGKey(0))
     vs = vae.init_state(jax.random.PRNGKey(1))["vq"]
@@ -160,23 +164,84 @@ def main():
             p["discr"] = discr
         return p, s, opt, dopt, loss, dloss
 
+    # recon-only warmup before the adversarial phase (classic VQGAN
+    # disc_start): at 256px the discriminator saturates early (discr loss
+    # -> 0) and the adaptive weight then amplifies a vanishing generator
+    # signal — warming the codec up first keeps the GAN phase stable
+    vae_plain = vae.replace(use_vgg_and_gan=False) if use_gan else vae
+    warmup = args.steps // 2 if use_gan else 0
+
+    @jax.jit
+    def vae_step_plain(p, s, opt, key):
+        dkey, rng_key = jax.random.split(key)
+        _, vids = make_batch(dkey)
+        imgs = vids.reshape(-1, 3, size, size)
+        gen, discr = split_gan(p)
+
+        def gen_loss_fn(gen, s):
+            loss, s2 = vae_plain.forward(
+                gen, {"vq": s}, imgs, return_loss=True, rng=rng_key
+            )
+            return loss, s2["vq"]
+
+        (loss, s), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(gen, s)
+        updates, opt = vtx.update(grads, opt, gen)
+        gen = optax.apply_updates(gen, updates)
+        p = dict(gen)
+        if discr is not None:
+            p["discr"] = discr
+        return p, s, opt, loss
+
+    # best-checkpoint tracking: on this degenerate synthetic data the
+    # commit-loss <-> recon tug-of-war makes VQ training oscillate (it
+    # repeatedly reaches good recon then collapses — measured across
+    # cosine/euclidean, decay 0.8/0.99, clip on/off); keep the params with
+    # the best probe-batch recon L1, the standard early-stopping answer
+    _, probe_vids = jax.jit(make_batch)(jax.random.PRNGKey(99))
+    probe = probe_vids.reshape(-1, 3, size, size)
+
+    @jax.jit
+    def probe_l1(p, s):
+        recon = vae.forward(p, {"vq": s}, probe)
+        return jnp.mean(jnp.abs(recon - probe))
+
+    best = {"l1": float("inf"), "p": vp, "s": vs, "step": -1}
+
+    def track(step, p, s):
+        l1 = float(probe_l1(p, s))
+        if l1 < best["l1"]:
+            best.update(l1=l1, p=p, s=s, step=step)
+        return l1
+
     key = jax.random.PRNGKey(2)
     vae_losses = []
-    for step in range(args.steps):
+    for step in range(warmup):
+        key, sub = jax.random.split(key)
+        vp, vs, vopt, loss = vae_step_plain(vp, vs, vopt, sub)
+        if step % 20 == 0:
+            vae_losses.append((step, float(loss)))
+            track(step, vp, vs)
+        if step % 100 == 0:
+            print(f"vae warmup step {step}: loss {float(loss):.4f}", flush=True)
+    for step in range(warmup, args.steps):
         key, sub = jax.random.split(key)
         vp, vs, vopt, dopt, loss, dloss = vae_step(vp, vs, vopt, dopt, sub)
         if step % 20 == 0:
             vae_losses.append((step, float(loss)))
+            track(step, vp, vs)
         if step % 100 == 0:
             msg = f"vae step {step}: loss {float(loss):.4f}"
             if use_gan:
                 msg += f" discr {float(dloss):.4f}"
             print(msg, flush=True)
-    print(f"vae final loss {float(loss):.4f}", flush=True)
+    print(
+        f"vae final loss {float(loss):.4f}; best probe l1 {best['l1']:.4f} "
+        f"at step {best['step']} (restored)", flush=True,
+    )
+    vp, vs = best["p"], best["s"]
 
     # reconstruction artifact (render on device, fetch the small grid once)
-    _, vids = jax.jit(make_batch)(jax.random.PRNGKey(99))
-    imgs = vids.reshape(-1, 3, size, size)[:4]
+    imgs = probe[:4]
     recon = jax.jit(lambda p, s, im: vae.forward(p, {"vq": s}, im))(vp, vs, imgs)
     # fetch as uint8: device->host through the tunnel is slow, 4x smaller
     to_u8 = jax.jit(lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8))
