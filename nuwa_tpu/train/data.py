@@ -277,7 +277,17 @@ class DataLoader:
 
     def cycle(self):
         while True:
-            yield from iter(self)
+            got = False
+            for batch in self:
+                got = True
+                yield batch
+            if not got:
+                # empty dataset, or n < batch_size with drop_last: a bare
+                # `while True: yield from ...` would spin forever on next()
+                raise ValueError(
+                    f"DataLoader yields no batches (dataset size {len(self.ds)}"
+                    f", batch_size {self.batch_size}, drop_last {self.drop_last})"
+                )
 
 
 def _default_collate(items):

@@ -98,11 +98,15 @@ class VQGanVAETrainer:
                 dataset = MemmappedImageDataset(
                     path=images_memmap_path, shape=images_memmap_shape
                 )
-        if valid_frac > 0:
+        n_valid = int(len(dataset) * valid_frac) if valid_frac > 0 else 0
+        # n_valid == 0 (tiny dataset x small frac) must fall through to the
+        # shared-dataset branch: an empty valid split would make
+        # `next(self.valid_dl)` spin forever in _save_recon_grid (cycle()
+        # over a 0-length dataset never yields)
+        if n_valid > 0:
             n = len(dataset)
             split_rng = np.random.default_rng(random_split_seed)
             order = split_rng.permutation(n)
-            n_valid = int(n * valid_frac)
             valid_idx, train_idx = order[:n_valid], order[n_valid:]
             self.ds = _Subset(dataset, train_idx)
             self.valid_ds = _Subset(dataset, valid_idx)
@@ -118,7 +122,12 @@ class VQGanVAETrainer:
             DataLoader(self.ds, batch_size, shuffle=True, seed=seed).cycle(),
             grad_accum_every,
         )
-        self.valid_dl = DataLoader(self.valid_ds, batch_size, shuffle=True, seed=seed + 1).cycle()
+        # drop_last=False: the valid split may be smaller than a batch, and
+        # recon grids don't need a full one
+        self.valid_dl = DataLoader(
+            self.valid_ds, batch_size, shuffle=True, seed=seed + 1,
+            drop_last=False,
+        ).cycle()
 
         # ---- state
         key = jax.random.PRNGKey(seed)

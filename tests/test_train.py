@@ -247,6 +247,47 @@ def test_vqgan_trainer_steps(tmp_path):
     assert int(trainer2.state["step"]) >= 2
 
 
+def test_vqgan_trainer_tiny_dataset_empty_valid_split(tmp_path):
+    """valid_frac that rounds to 0 samples must fall back to the shared
+    train/valid dataset instead of hanging: `next()` on a cycle() over an
+    empty split used to spin forever inside _save_recon_grid."""
+    from nuwa_tpu.train.trainer_vqgan import VQGanVAETrainer
+    from nuwa_tpu.vqgan_vae import VQGanVAE
+
+    vae = VQGanVAE(
+        dim=8, image_size=8, num_layers=1, vq_codebook_size=16, vq_codebook_dim=8,
+        resnet_groups=4, use_vgg_and_gan=False,
+        vq_kmeans_init=False, use_attn=False, num_resnet_blocks=0,
+    )
+    trainer = VQGanVAETrainer(
+        vae,
+        num_train_steps=1,
+        lr=1e-3,
+        batch_size=2,
+        grad_accum_every=1,
+        dataset=_RandomImages(n=8),
+        valid_frac=0.05,  # int(8 * 0.05) == 0
+        results_folder=str(tmp_path),
+        save_results_every=1,
+        save_model_every=10,
+        resume=False,
+    )
+    assert len(trainer.valid_ds) == len(trainer.ds) == 8
+    trainer.train()
+    assert int(trainer.state["step"]) == 1
+
+
+def test_dataloader_empty_cycle_raises():
+    """cycle() must raise, not busy-spin, when an epoch yields no batches."""
+    import pytest
+
+    from nuwa_tpu.train.data import DataLoader
+
+    it = DataLoader(_RandomImages(n=1), 2, shuffle=False).cycle()
+    with pytest.raises(ValueError, match="no batches"):
+        next(it)
+
+
 class _ToyVideoText:
     """(text, video-indices) pairs for NUWA training without a VAE."""
 
