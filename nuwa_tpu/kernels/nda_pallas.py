@@ -1442,10 +1442,17 @@ def _pad_frames(geo, k, v):
 
 def rb_row_block(mod):
     """Row-block size for the row-blocked kernel: the largest divisor of the
-    fmap height whose query block stays <= 256 tokens. None = unsupported."""
+    fmap height whose query block stays <= 256 tokens. None = unsupported.
+    A ``row_block`` field on the module forces that size (validated)."""
     fh, fw = mod.video_shape[1], mod.video_shape[2]
     if fw > 256:
         return None
+    forced = getattr(mod, "row_block", None)
+    if forced is not None:
+        assert fh % forced == 0, (
+            f"row_block={forced} must divide fmap height {fh}"
+        )
+        return forced
     for R in range(max(1, 256 // fw), 0, -1):
         if fh % R == 0:
             return R
@@ -1581,7 +1588,7 @@ def sparse_3dna_pallas(mod, p, q, k, v, k_bos, v_bos, num_frames, t):
     assert t_pad == num_frames * mod.video_shape[1] * mod.video_shape[2]
     geo = _geometry(mod, num_frames, d_orig)
 
-    if geo["HW"] <= 256:
+    if geo["HW"] <= 256 and getattr(mod, "row_block", None) is None:
         q, k, v, k_bos, v_bos = _pad_d([q, k, v, k_bos, v_bos], d_orig, geo["d"])
         kpad, vpad = _pad_frames(geo, k, v)
         cbias, th_w = _combined_bias(mod, p, h)
@@ -1913,7 +1920,7 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
         return _VJP_CACHE[cache_key]
 
     HW = mod.video_shape[1] * mod.video_shape[2]
-    if HW > 256:
+    if HW > 256 or getattr(mod, "row_block", None) is not None:
         # row-blocked kernels (causal or centered): true flash backward too;
         # dropout uses absolute-coordinate masks (see _keep_mask_abs)
         core = _rb_core_op(mod, num_frames, t, drop_rate=mod.dropout)

@@ -490,6 +490,14 @@ class Sparse3DNA(Module):
     # 'dense' is ~2.2x faster for training on TPU at fmap<=16 (no neighbor
     # materialization); 'auto' picks it there and falls back to 'gather'
     # for larger grids or when attention dropout is active.
+    # Force the row-blocked Pallas family with this many query rows per
+    # block even when HW <= 256 (where 'auto' uses the whole-frame family):
+    # smaller blocks attend a (R + (kh-1)*dh)-row key window instead of
+    # whole key frames — fewer score FLOPs, more grid steps + halo DMA.
+    # Requires fmap_height % row_block == 0 and row_block * fmap_width a
+    # multiple of 128 on TPU. Measured a net LOSS at fmap 16 (see
+    # transformer.py sparse_3dna_row_block note); experimentation knob only.
+    row_block: Optional[int] = None
 
     @property
     def kernel(self):
@@ -611,7 +619,7 @@ class Sparse3DNA(Module):
         # PRNG in the whole-frame family, absolute-(q,k)-coordinate masks in
         # the row-blocked family (its kv backward slices sub-tiles of the
         # forward's windows)
-        wf = tokens_per_frame <= 256
+        wf = tokens_per_frame <= 256 and self.row_block is None
         drop_active = self.dropout > 0.0 and key is not None
         # backend='auto' on TPU prefers the fused Pallas kernels (measured
         # faster than the dense XLA path both forward and fwd+bwd on v5e —

@@ -158,6 +158,7 @@ def _build_layer_menu(
     sparse_3dna_backend,
     shift_video_tokens_flag,
     include_cross_ff,
+    sparse_3dna_row_block=None,
 ):
     """Return a tuple of (kind, module) entries, one flat list per stack.
 
@@ -190,6 +191,7 @@ def _build_layer_menu(
                 dropout=attn_dropout,
                 use_pallas=sparse_3dna_use_pallas,
                 backend=sparse_3dna_backend,
+                row_block=sparse_3dna_row_block,
             )
         else:
             self_attn = Attention(
@@ -287,6 +289,13 @@ class Transformer(Module):
     sparse_3dna_rel_pos_bias: bool = False
     sparse_3dna_use_pallas: bool = False
     sparse_3dna_backend: str = "auto"
+    # force the row-blocked Pallas family with this query-row block even at
+    # HW <= 256 (see Sparse3DNA.row_block). Measured on v5e at fmap 16 b=8
+    # kernel (5,3,3): rb=8 LOSES to the whole-frame family both at
+    # dim 512/dh64 (71.3 vs 59.5 ms/step) and dim 1024/dh128 (113.9 vs
+    # 101.7) — the narrower key window doesn't repay the extra grid steps
+    # and halo DMA. Kept as an experimentation knob; 'auto' never sets it.
+    sparse_3dna_row_block: Optional[int] = None
     shift_video_tokens: bool = False
     rotary_pos_emb: bool = False
     remat: bool = False  # jax.checkpoint each block (activation-memory knob;
@@ -318,6 +327,7 @@ class Transformer(Module):
             sparse_3dna_rel_pos_bias=self.sparse_3dna_rel_pos_bias,
             sparse_3dna_use_pallas=self.sparse_3dna_use_pallas,
             sparse_3dna_backend=self.sparse_3dna_backend,
+            sparse_3dna_row_block=self.sparse_3dna_row_block,
             shift_video_tokens_flag=self.shift_video_tokens,
             include_cross_ff=self._include_cross_ff,
         )

@@ -28,7 +28,7 @@ def _sync(x):
 
 
 def build(backend, use_pallas, *, dim=512, depth=6, heads=8, dim_head=64,
-          frames=8, fmap=16):
+          frames=8, fmap=16, row_block=None):
     return Transformer(
         dim=dim,
         depth=depth,
@@ -42,14 +42,19 @@ def build(backend, use_pallas, *, dim=512, depth=6, heads=8, dim_head=64,
         sparse_3dna_rel_pos_bias=True,
         sparse_3dna_backend=backend,
         sparse_3dna_use_pallas=use_pallas,
+        sparse_3dna_row_block=row_block,
         shift_video_tokens=True,
     )
 
 
-def bench_backend(name, *, batch=2, frames=8, fmap=16, steps=5, train=True):
-    use_pallas = name == "pallas"
+def bench_backend(name, *, batch=2, frames=8, fmap=16, steps=5, train=True,
+                  row_block=None):
+    use_pallas = name in ("pallas", "pallas_rb")
     backend = name if name in ("dense", "gather", "dense_chunked") else "gather"
-    model = build(backend, use_pallas, frames=frames, fmap=fmap)
+    if name == "pallas_rb" and row_block is None:
+        row_block = max(1, 128 // fmap)  # smallest block with 128-lane rows
+    model = build(backend, use_pallas, frames=frames, fmap=fmap,
+                  row_block=row_block if name == "pallas_rb" else None)
     key = jax.random.PRNGKey(0)
     params = model.init(key)
     t = frames * fmap * fmap

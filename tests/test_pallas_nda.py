@@ -178,6 +178,35 @@ def test_pallas_row_blocked_partial_frame_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=8e-2, rtol=8e-2)
 
 
+def test_pallas_forced_row_block_small_fmap():
+    """`row_block=` forces the row-blocked family at HW <= 256 (where 'auto'
+    would pick whole-frame); forward and the rb flash backward must still
+    match the gather oracle. (The force is an experimentation knob — it
+    measured slower than whole-frame at fmap 16 on v5e, see transformer.py.)
+    """
+    mod = Sparse3DNA(
+        dim=16, video_shape=(2, 8, 8), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True, rel_pos_bias=True,
+    )
+    mod_pl = mod.replace(use_pallas=True, row_block=4)
+    p = mod.init(KEY)
+    t = 2 * 8 * 8
+    x = jax.random.normal(KEY, (2, 1 + t, 16))
+    w = jax.random.normal(jax.random.PRNGKey(8), (2, 1 + t, 16))
+
+    def loss(m, p, x):
+        return jnp.sum(m(p, x) * w)
+
+    ref = np.asarray(mod(p, x))
+    g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod_pl(p, x))
+        g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=8e-2, rtol=8e-2)
+
+
 def test_pallas_row_blocked_backward_exact_with_fp32_cache():
     """The row-blocked flash backward (dq/dk/dv/bos/bias/talking-heads) is
     exact vs the gather oracle when the score cache is fp32."""
