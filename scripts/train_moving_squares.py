@@ -56,7 +56,10 @@ def device_batch_fn(frames=4, size=64, square=None, batch=4):
         d = jax.random.randint(kd, (batch,), 0, 4)
         y0 = jax.random.randint(ky, (batch,), square, size - 2 * square)
         x0 = jax.random.randint(kx, (batch,), square, size - 2 * square)
-        color = jax.random.uniform(kc, (batch, 3), minval=0.5, maxval=1.0)
+        # wide per-channel range: saturated colors give the codec a real
+        # chroma gradient (0.5-1.0 pastels let an all-white recon score
+        # within ~0.02 L1 of perfect — observed as color collapse at 256px)
+        color = jax.random.uniform(kc, (batch, 3), minval=0.15, maxval=1.0)
         dy = vels[d][:, 0]
         dx = vels[d][:, 1]
 
@@ -80,6 +83,8 @@ def device_batch_fn(frames=4, size=64, square=None, batch=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--nuwa-steps", type=int, default=None,
+                    help="NUWA training steps (default 2x --steps)")
     ap.add_argument("--out", type=str, default=str(REPO / "docs"))
     ap.add_argument("--no-gan", action="store_true",
                     help="plain recon+VQ codec (skip GAN + perceptual)")
@@ -218,7 +223,7 @@ def main():
     for step in range(warmup):
         key, sub = jax.random.split(key)
         vp, vs, vopt, loss = vae_step_plain(vp, vs, vopt, sub)
-        if step % 20 == 0:
+        if step % 10 == 0:
             vae_losses.append((step, float(loss)))
             track(step, vp, vs)
         if step % 100 == 0:
@@ -226,7 +231,7 @@ def main():
     for step in range(warmup, args.steps):
         key, sub = jax.random.split(key)
         vp, vs, vopt, dopt, loss, dloss = vae_step(vp, vs, vopt, dopt, sub)
-        if step % 20 == 0:
+        if step % 10 == 0:
             vae_losses.append((step, float(loss)))
             track(step, vp, vs)
         if step % 100 == 0:
@@ -276,7 +281,8 @@ def main():
 
     key = jax.random.PRNGKey(4)
     nuwa_losses = []
-    for step in range(args.steps * 2):
+    nuwa_steps = args.nuwa_steps if args.nuwa_steps is not None else args.steps * 2
+    for step in range(nuwa_steps):
         key, sub = jax.random.split(key)
         params, nopt, loss = nuwa_step(params, nopt, sub)
         if step % 20 == 0:

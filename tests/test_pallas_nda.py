@@ -719,11 +719,13 @@ def test_pallas_row_blocked_dropout():
         K._VJP_CACHE.clear()
 
 
-def test_pallas_cross_2dna_dropout():
+@pytest.mark.parametrize("Fc", [1, 2], ids=["ctx1", "ctx2"])
+def test_pallas_cross_2dna_dropout(Fc):
     """In-kernel dropout on the fused cross kernels: keyless calls equal the
     no-dropout kernel; keyed calls vary; and the fused backward matches
     central finite differences (fwd/bwd regenerate the same absolute-
-    coordinate masks)."""
+    coordinate masks). Fc=1 exercises the single-pass ``_xfused1_kernel``,
+    Fc=2 the multi-tap ``_xfused_kernel``."""
     import nuwa_tpu.kernels.nda_pallas as K
     from nuwa_tpu.nda import SparseCross2DNA
 
@@ -739,7 +741,7 @@ def test_pallas_cross_2dna_dropout():
         p = mod.init(KEY)
         t = 2 * 16 + 5
         x = jax.random.normal(KEY, (1, 1 + t, 16))
-        ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 2 * 16, 16))
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (1, Fc * 16, 16))
         key = jax.random.PRNGKey(5)
 
         with pltpu.force_tpu_interpret_mode():
