@@ -1845,20 +1845,27 @@ def _rb_static_mask(mod, geo):
     return jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
 
 
+def _recover_tab(sbias, sel_np):
+    """(taps, h) bias table recovered from a scattered q-side ``sbias`` via
+    its one-hot forward selector (every tap's value is constant across its
+    scatter positions). Used only to evaluate kv-side scores — parameter
+    cotangents flow via the q-side dsb. Shared by the video and audio
+    row-blocked backwards so the recovery convention stays single-sourced."""
+    counts = np.maximum(sel_np.sum((0, 1)), 1.0)  # (taps,)
+    tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
+    return tab / jnp.asarray(counts, jnp.float32)[:, None]
+
+
 def _rb_hw_tab(mod, geo, sbias):
-    """(kh*kw, h) spatial bias table recovered from the scattered q-side
-    ``sbias`` via the one-hot forward selector (every tap's value is
-    constant across its scatter positions). Used only to evaluate kv-side
-    scores — parameter cotangents flow via the q-side dsb."""
+    """(kh*kw, h) spatial bias table for the video row-blocked kv backward
+    (see ``_recover_tab``)."""
     kf, kh, kw = mod.kernel
     df, dh_, dw = mod.dilations
     _, sel_np = _rb_mask_and_selector(
         geo["fw"], kh, kw, dh_, dw, geo["R"], geo["W"], geo["prow"],
         mod.causal,
     )
-    counts = np.maximum(sel_np.sum((0, 1)), 1.0)  # (kh*kw,)
-    tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
-    return tab / jnp.asarray(counts, jnp.float32)[:, None]
+    return _recover_tab(sbias, sel_np)
 
 
 # ---------------------------------------------------------------------------
@@ -2120,7 +2127,10 @@ def sparse_2dna_pallas_vjp(mod, t: int):
     if cache_key in _VJP_CACHE:
         return _VJP_CACHE[cache_key]
 
-    if _audio_geometry(mod, t, 1)["HW"] > 256:
+    # lcm(H, 128) > 1024 (audio_rb_row_block None) keeps the whole-frame
+    # path below — slower, but the historical behavior for a forced
+    # use_pallas rather than an assert deep in the rb geometry
+    if _audio_geometry(mod, t, 1)["HW"] > 256 and audio_rb_row_block(mod):
         op = _audio_rb_make_op(mod, t)
         _VJP_CACHE[cache_key] = op
         return op
@@ -2244,12 +2254,13 @@ def _audio_rb_bwd_masks_np(H, K, dt, R, NB):
 
 
 def _audio_rb_tensors(mod, p_sub, heads, geo):
-    """maskf + differentiable sbias (+ zero fbias) for the audio rb path."""
-    mask_np, sel_np = _audio_rb_masks_np(
+    """Differentiable sbias (+ zero fbias, th) for the audio rb path. The
+    additive maskf is NOT built here — the core op rebuilds it internally
+    (``geo_and_mask``)."""
+    _, sel_np = _audio_rb_masks_np(
         geo["H"], mod.kernel_size, mod.dilation, geo["R"], geo["W"],
         geo["prow"],
     )
-    maskf = jnp.asarray(np.where(mask_np, 0.0, -np.inf), jnp.float32)
     if mod.rel_pos_bias:
         table = mod.bias_module(p_sub["rel_pos_bias"])  # (K*H, heads)
         sbias = jnp.einsum(
@@ -2259,7 +2270,7 @@ def _audio_rb_tensors(mod, p_sub, heads, geo):
         sbias = jnp.zeros((1, geo["Rfw"], geo["Wfw"]), jnp.float32)
     fbias = jnp.zeros((heads, 1), jnp.float32)
     th_w = p_sub["talking_heads"].astype(jnp.float32)
-    return maskf, sbias, fbias, th_w
+    return sbias, fbias, th_w
 
 
 def _audio_rb_core_op(mod, t: int, drop_rate=0.0):
@@ -2310,16 +2321,13 @@ def _audio_rb_core_op(mod, t: int, drop_rate=0.0):
         geo["NB"] = NB
         geo["nb_neg"] = 0
         if mod.rel_pos_bias:
-            # recover the (K·H, heads) table from the q-side sbias via the
-            # one-hot forward selector (values are constant across scatter
-            # positions); parameter cotangent flows through dsb
+            # recover the (K·H, heads) table from the q-side sbias
+            # (see _recover_tab); parameter cotangent flows through dsb
             _, sel_np = _audio_rb_masks_np(
                 geo["H"], mod.kernel_size, mod.dilation, R, geo["W"],
                 prow,
             )
-            counts = np.maximum(sel_np.sum((0, 1)), 1.0)
-            tab = jnp.einsum("hqk,qkt->th", sbias, jnp.asarray(sel_np))
-            tab = tab / jnp.asarray(counts, jnp.float32)[:, None]
+            tab = _recover_tab(sbias, sel_np)
             sbiasb = jnp.einsum(
                 "nqkt,th->nhqk", jnp.asarray(selb_np, jnp.float32), tab
             )
@@ -2358,9 +2366,7 @@ def _audio_rb_make_op(mod, t: int):
         d_orig = q.shape[-1]
         geo = _audio_rb_geometry(mod, t, d_orig)
         total = geo["HW"]
-        maskf, sbias, fbias, th_w = _audio_rb_tensors(
-            mod, p_sub, mod.heads, geo
-        )
+        sbias, fbias, th_w = _audio_rb_tensors(mod, p_sub, mod.heads, geo)
 
         def tok_pad(a):
             n = a.shape[2]
@@ -2984,9 +2990,10 @@ def xfused_ok(mod, t: int, Lc: int):
     Fc = Lc // HW
     F = -(-t // HW)
     if Fc == 1:
-        # value-based single-pass kernel: the live f32 score tensor replaces
-        # the bf16 p_buf scratch
-        cache_bytes = mod.heads * F * HW * HW * 4
+        # value-based single-pass kernel: no p_buf scratch, but the raw
+        # scores and their cache-rounded copy are live f32 simultaneously
+        # (s and s_r in _xfused1_kernel) — count both
+        cache_bytes = 2 * mod.heads * F * HW * HW * 4
     else:
         cache_bytes = Fc * mod.heads * F * HW * HW * (
             2 if _CACHE_DTYPE == jnp.bfloat16 else 4

@@ -33,12 +33,17 @@ class _ModelJitCache:
         self._maxsize = maxsize
 
     def __call__(self, model, tag, build):
+        # dict preserves insertion order; moving hits to the end makes the
+        # oldest entry the *least recently used* one, so a hot rollout is
+        # never the one evicted (re-tracing costs multi-minute compiles
+        # through the relay)
         key = (model, tag)
-        fn = self._cache.get(key)
+        fn = self._cache.pop(key, None)
+        if fn is None and len(self._cache) >= self._maxsize:
+            self._cache.pop(next(iter(self._cache)))
         if fn is None:
-            if len(self._cache) >= self._maxsize:
-                self._cache.pop(next(iter(self._cache)))
-            fn = self._cache[key] = jax.jit(build())
+            fn = jax.jit(build())
+        self._cache[key] = fn
         return fn
 
 

@@ -643,11 +643,26 @@ class Sparse3DNA(Module):
             )
             pallas_ok = want_pallas and shape_ok
         if want_pallas and not shape_ok:
+            mode = "use_pallas=True" if self.use_pallas else "backend='auto'"
+            if wf:
+                why = (
+                    f"tokens_per_frame={tokens_per_frame} fails the Mosaic "
+                    f"lane rule (HW % 128 needed)"
+                )
+            elif R is None:
+                why = (
+                    f"fmap width {self.video_shape[2]} > 256 has no "
+                    f"row-blocked kernel"
+                )
+            else:
+                why = (
+                    f"row block R={R} x fmap width {self.video_shape[2]} "
+                    f"fails the Mosaic lane rule (R*fw % 128 needed)"
+                )
+            falls_to = "gather" if drop_active else "dense XLA"
             _warn_dense_fallback(
-                f"Sparse3DNA backend='auto': tokens_per_frame={tokens_per_frame} "
-                f"fails the Mosaic lane rule (HW % 128 needed), falling back to "
-                f"the dense XLA path — cheap at small fmaps, but not the Pallas "
-                f"kernel (docs/KERNELS.md)."
+                f"Sparse3DNA {mode}: {why}, falling back to the {falls_to} "
+                f"path — not the Pallas kernel (docs/KERNELS.md)."
             )
         if pallas_ok:
             from .kernels.nda_pallas import sparse_3dna_pallas_vjp
@@ -866,10 +881,22 @@ class SparseCausal2DNA(Module):
             and jax.default_backend() == "tpu"
             and not kernel_ok
         ):
+            if pseudo_hw > 1024:
+                why = (
+                    f"height={self.height} has lcm(height, 128) = "
+                    f"{pseudo_hw} > 1024"
+                )
+            else:
+                # the short-strip heuristic tripped, not a hard shape limit —
+                # gather measured faster (pad-to-R overcompute, 0.90x at T=32)
+                why = (
+                    f"strip of {-(-t // self.height)} timesteps is shorter "
+                    f"than half a row block (R={pseudo_hw // self.height}) — "
+                    f"gather measured faster at this length"
+                )
             _warn_dense_fallback(
-                f"SparseCausal2DNA backend='auto': height={self.height} has "
-                f"lcm(height, 128) = {pseudo_hw} > 1024, falling back to the "
-                f"gather path (docs/KERNELS.md)."
+                f"SparseCausal2DNA backend='auto': {why}, using the gather "
+                f"path (docs/KERNELS.md)."
             )
         if want_pallas:
             from .kernels.nda_pallas import sparse_2dna_pallas_vjp

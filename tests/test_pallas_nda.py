@@ -335,6 +335,25 @@ def test_pallas_audio_2dna_forward(H, K, dil):
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
+def test_pallas_audio_2dna_huge_lcm_height_whole_frame_fallback():
+    """Heights with lcm(H, 128) > 1024 (no row-blocked geometry) must run the
+    whole-frame kernels under a forced use_pallas — historically they did;
+    a round-4 regression routed them into the rb family's bare assert."""
+    from nuwa_tpu.nda import SparseCausal2DNA
+
+    mod = SparseCausal2DNA(
+        dim=16, height=9, heads=2, dim_head=8, kernel_size=3, dilation=1,
+        rel_pos_bias=True,
+    )  # lcm(9, 128) = 1152 > 1024
+    p = mod.init(KEY)
+    t = 2 * 9 + 4  # ragged tail
+    x = jax.random.normal(KEY, (1, 1 + t, 16))
+    ref = np.asarray(mod(p, x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(mod.replace(use_pallas=True)(p, x))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
 def test_pallas_audio_2dna_multiframe_lookback():
     """Lookback spanning multiple pseudo-frames (t > G timesteps) plus bos."""
     from nuwa_tpu.nda import SparseCausal2DNA
