@@ -1,4 +1,5 @@
 from .mesh import data_sharding, make_mesh, replicated
+from .pipeline import pipelined_transformer, stack_stage_params, validate_stages
 from .sharding import (
     make_param_specs,
     partition_spec_for,
@@ -14,4 +15,7 @@ __all__ = [
     "partition_spec_for",
     "shard_params",
     "sharded_train_step",
+    "pipelined_transformer",
+    "stack_stage_params",
+    "validate_stages",
 ]

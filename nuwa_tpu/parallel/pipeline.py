@@ -1,0 +1,206 @@
+"""GPipe-style pipeline parallelism for the Transformer stack.
+
+The reference is single-device (SURVEY §2.8 — no torch.distributed
+anywhere); DP/TP/CP cover its training surface, and pipeline parallelism is
+the remaining axis for scaling *depth* past one chip's HBM. TPU-native
+recipe (the scaling-book pipelining chapter): put the stack's stages on a
+'pipe' mesh axis, run one SPMD program where every device executes its own
+stage each step, and shift activations to the next stage over ICI with
+``lax.ppermute`` inside a ``lax.scan`` over microbatches. XLA sees a single
+compiled loop; reverse-mode autodiff transposes the ppermutes, so the
+backward pipeline (cotangents flowing stage S-1 → 0) falls out of
+``jax.grad`` with no hand-written schedule.
+
+SPMD constraint: every stage must run the *same program*, so the layer menu
+must be stage-periodic — stage s's (kind, module) slice must equal stage
+0's. With the usual dilation cycling this holds whenever ``depth`` is a
+multiple of ``n_stages * len(dilations)`` (modules are frozen dataclasses,
+so equality is a static-config check at trace time).
+
+Schedule: plain GPipe — M microbatches through S stages in M + S - 1 steps,
+bubble fraction (S-1)/(M+S-1). Bubble steps compute on garbage (standard
+SPMD pipelining); their results are never selected into the output buffer,
+so no gradient flows from them.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.layers import StableLayerNorm
+
+
+def validate_stages(transformer, n_stages: int) -> int:
+    """Check the layer menu splits into ``n_stages`` statically identical
+    stages; returns the per-stage menu length."""
+    menu = transformer.layer_menu
+    if len(menu) % n_stages:
+        raise ValueError(
+            f"menu of {len(menu)} layer entries does not split into "
+            f"{n_stages} stages"
+        )
+    L = len(menu) // n_stages
+    base = menu[:L]
+    for s in range(1, n_stages):
+        for j, ((k0, m0), (k1, m1)) in enumerate(
+            zip(base, menu[s * L : (s + 1) * L])
+        ):
+            if k0 != k1 or m0 != m1:
+                raise ValueError(
+                    f"stage {s} entry {j} ({k1}: {m1}) differs from stage 0 "
+                    f"({k0}: {m0}) — pipeline stages must be statically "
+                    f"identical (depth must be a multiple of n_stages x the "
+                    f"dilation cycle)"
+                )
+    return L
+
+
+def stack_stage_params(layer_params, n_stages: int):
+    """[depth-menu params] -> list of per-stage-slot params with a leading
+    (n_stages,) axis on every leaf, ready to shard over the 'pipe' axis."""
+    L = len(layer_params) // n_stages
+    stages = [list(layer_params[s * L : (s + 1) * L]) for s in range(n_stages)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def pipelined_transformer(
+    transformer,
+    p,
+    x,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    axis: str = "pipe",
+    mask=None,
+    context=None,
+    context_mask=None,
+    rotary_pos_emb=None,
+    key=None,
+):
+    """Run ``transformer(p, x, ...)`` pipelined over ``mesh.shape[axis]``
+    stages with ``num_microbatches`` microbatches over the batch dim.
+
+    Matches the plain forward exactly when dropout is off. With dropout,
+    per-layer keys are folded with the microbatch index (the unsharded path
+    draws one mask over the full batch, so bit-parity across the two
+    layouts is not defined there).
+    """
+    S = mesh.shape[axis]
+    L = validate_stages(transformer, S)
+    menu = transformer.layer_menu
+    stage_menu = menu[:L]
+    b = x.shape[0]
+    M = num_microbatches
+    if b % M:
+        raise ValueError(f"batch {b} not divisible by {M} microbatches")
+    mb = b // M
+    if S == 1:  # degenerate: no pipeline, keep the plain path
+        return transformer(
+            p, x, mask=mask, context=context, context_mask=context_mask,
+            rotary_pos_emb=rotary_pos_emb, key=key,
+        )
+
+    stacked = stack_stage_params(p["layers"], S)
+
+    def mb_split(a):
+        return None if a is None else a.reshape(M, mb, *a.shape[1:])
+
+    xm = mb_split(x)
+    ctx_m = mb_split(context)
+    mask_m = mb_split(mask)
+    cmask_m = mb_split(context_mask)
+
+    # assemble (args, specs) dynamically so optional inputs stay out of the
+    # traced signature
+    args = [stacked, xm]
+    specs = [jax.tree.map(lambda _: P(axis), stacked), P()]
+    opt_names = []
+    for name, val in (
+        ("context", ctx_m),
+        ("mask", mask_m),
+        ("context_mask", cmask_m),
+        ("rotary_pos_emb", rotary_pos_emb),
+        ("key", key),
+    ):
+        if val is not None:
+            args.append(val)
+            specs.append(P())
+            opt_names.append(name)
+
+    def body(stacked_local, xm, *opts):
+        opt = dict(zip(opt_names, opts))
+        sp = jax.tree.map(lambda a: a[0], stacked_local)
+        s_idx = jax.lax.axis_index(axis)
+        T = M + S - 1
+
+        def pick(a, i):
+            return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+        def stage_fn(h, mb_i):
+            for j, (kind, module) in enumerate(stage_menu):
+                if kind == "self":
+                    kw = dict(
+                        mask=None if "mask" not in opt else pick(opt["mask"], mb_i),
+                        rotary_pos_emb=opt.get("rotary_pos_emb"),
+                    )
+                elif kind == "cross":
+                    kw = dict(
+                        context=pick(opt["context"], mb_i),
+                        context_mask=(
+                            None
+                            if "context_mask" not in opt
+                            else pick(opt["context_mask"], mb_i)
+                        ),
+                        mask=None if "mask" not in opt else pick(opt["mask"], mb_i),
+                    )
+                else:
+                    kw = {}
+                lk = None
+                if "key" in opt:
+                    lk = jax.random.fold_in(
+                        jax.random.fold_in(opt["key"], s_idx * L + j), mb_i
+                    )
+                blk = lambda lp, h, lk, _m=module, _kw=kw: _m(lp, h, key=lk, **_kw)
+                if transformer.remat:
+                    blk = jax.checkpoint(blk)
+                h = blk(sp[j], h, lk) + h
+            return h
+
+        def step(carry, i):
+            act, outbuf = carry
+            # stage 0 ingests microbatch i; later stages take the activation
+            # shifted in from the previous stage
+            h = jnp.where(s_idx == 0, pick(xm, jnp.clip(i, 0, M - 1)), act)
+            my_mb = jnp.clip(i - s_idx, 0, M - 1)
+            h = stage_fn(h, my_mb)
+            act_next = jax.lax.ppermute(
+                h, axis, [(d, d + 1) for d in range(S - 1)]
+            )
+            out_i = jnp.clip(i - (S - 1), 0, M - 1)
+            emit = jnp.logical_and(s_idx == S - 1, i >= S - 1)
+            outbuf = jnp.where(
+                emit,
+                jax.lax.dynamic_update_index_in_dim(outbuf, h, out_i, 0),
+                outbuf,
+            )
+            return (act_next, outbuf), None
+
+        # the carries become device-varying through the stage compute; mark
+        # the (replicated-zero) initial values so scan's carry types match
+        vary = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+        act0 = vary(jnp.zeros((mb,) + xm.shape[2:], xm.dtype))
+        out0 = vary(jnp.zeros_like(xm))
+        (_, outbuf), _ = jax.lax.scan(
+            step, (act0, out0), jnp.arange(T), length=T
+        )
+        # only the last stage holds real outputs; psum broadcasts them
+        outbuf = jnp.where(s_idx == S - 1, outbuf, jnp.zeros_like(outbuf))
+        return jax.lax.psum(outbuf, axis)
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=tuple(specs), out_specs=P(),
+    )(*args)
+    out = out.reshape(b, *x.shape[1:])
+    return StableLayerNorm(transformer.dim)(p["norm"], out)
