@@ -73,6 +73,7 @@ def pipelined_transformer(
     *,
     num_microbatches: int,
     axis: str = "pipe",
+    data_axis: str | None = None,
     mask=None,
     context=None,
     context_mask=None,
@@ -81,6 +82,10 @@ def pipelined_transformer(
 ):
     """Run ``transformer(p, x, ...)`` pipelined over ``mesh.shape[axis]``
     stages with ``num_microbatches`` microbatches over the batch dim.
+
+    ``data_axis``: optional second mesh axis for PP×DP — each microbatch's
+    rows shard over it (params stay replicated across 'data'; shard_map's
+    transpose inserts the DP gradient psum, no hand-written all-reduce).
 
     Matches the plain forward exactly when dropout is off. With dropout,
     per-layer keys are folded with the microbatch index (the unsharded path
@@ -96,6 +101,11 @@ def pipelined_transformer(
     if b % M:
         raise ValueError(f"batch {b} not divisible by {M} microbatches")
     mb = b // M
+    if data_axis is not None and mb % mesh.shape[data_axis]:
+        raise ValueError(
+            f"microbatch rows {mb} not divisible by mesh axis "
+            f"{data_axis}={mesh.shape[data_axis]}"
+        )
     if S == 1:  # degenerate: no pipeline, keep the plain path
         return transformer(
             p, x, mask=mask, context=context, context_mask=context_mask,
@@ -112,10 +122,13 @@ def pipelined_transformer(
     mask_m = mb_split(mask)
     cmask_m = mb_split(context_mask)
 
+    # (M, mb, ...) microbatched tensors shard their row dim under PP×DP
+    row_spec = P(None, data_axis) if data_axis is not None else P()
+
     # assemble (args, specs) dynamically so optional inputs stay out of the
     # traced signature
     args = [stacked, xm]
-    specs = [jax.tree.map(lambda _: P(axis), stacked), P()]
+    specs = [jax.tree.map(lambda _: P(axis), stacked), row_spec]
     opt_names = []
     for name, val in (
         ("context", ctx_m),
@@ -126,7 +139,9 @@ def pipelined_transformer(
     ):
         if val is not None:
             args.append(val)
-            specs.append(P())
+            specs.append(
+                P() if name in ("rotary_pos_emb", "key") else row_spec
+            )
             opt_names.append(name)
 
     def body(stacked_local, xm, *opts):
@@ -162,6 +177,12 @@ def pipelined_transformer(
                     lk = jax.random.fold_in(
                         jax.random.fold_in(opt["key"], s_idx * L + j), mb_i
                     )
+                    if data_axis is not None:
+                        # distinct masks per data shard (each shard draws
+                        # over its local rows only)
+                        lk = jax.random.fold_in(
+                            lk, jax.lax.axis_index(data_axis)
+                        )
                 blk = lambda lp, h, lk, _m=module, _kw=kw: _m(lp, h, key=lk, **_kw)
                 if transformer.remat:
                     blk = jax.checkpoint(blk)
@@ -189,9 +210,13 @@ def pipelined_transformer(
 
         # the carries become device-varying through the stage compute; mark
         # the (replicated-zero) initial values so scan's carry types match
-        vary = lambda a: jax.lax.pcast(a, (axis,), to="varying")
-        act0 = vary(jnp.zeros((mb,) + xm.shape[2:], xm.dtype))
-        out0 = vary(jnp.zeros_like(xm))
+        vaxes = (axis,) + ((data_axis,) if data_axis is not None else ())
+        # fresh zeros are invarying everywhere -> cast over all mapped axes;
+        # zeros_like(xm) inherits xm's data-varying type -> cast 'pipe' only
+        act0 = jax.lax.pcast(
+            jnp.zeros(xm.shape[1:], xm.dtype), vaxes, to="varying"
+        )
+        out0 = jax.lax.pcast(jnp.zeros_like(xm), (axis,), to="varying")
         (_, outbuf), _ = jax.lax.scan(
             step, (act0, out0), jnp.arange(T), length=T
         )
@@ -200,7 +225,7 @@ def pipelined_transformer(
         return jax.lax.psum(outbuf, axis)
 
     out = shard_map(
-        body, mesh=mesh, in_specs=tuple(specs), out_specs=P(),
+        body, mesh=mesh, in_specs=tuple(specs), out_specs=row_spec,
     )(*args)
     out = out.reshape(b, *x.shape[1:])
     return StableLayerNorm(transformer.dim)(p["norm"], out)

@@ -791,3 +791,37 @@ def test_pipeline_dropout_runs_and_is_deterministic():
     assert float(jnp.max(jnp.abs(a - c))) > 1e-4
     r = run(tr.replace(remat=True), jax.random.PRNGKey(7))
     np.testing.assert_allclose(np.asarray(r), np.asarray(a), atol=1e-6)
+
+
+def test_pipeline_x_data_parallel():
+    """PP×DP on a ('data', 'pipe') mesh: microbatch rows shard over 'data',
+    params replicate across it; forward and grads match the plain stack
+    (shard_map's transpose supplies the DP gradient psum)."""
+    from jax.sharding import Mesh
+
+    from nuwa_tpu.parallel.pipeline import pipelined_transformer
+    from nuwa_tpu.transformer import Transformer
+
+    tr = Transformer(dim=32, depth=4, causal=True, heads=2, dim_head=16)
+    p = tr.init(KEY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 32))
+    w = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "pipe"))
+    run = lambda p: pipelined_transformer(
+        tr, p, x, mesh, num_microbatches=2, data_axis="data"
+    )
+    np.testing.assert_allclose(
+        np.asarray(run(p)), np.asarray(tr(p, x)), atol=1e-5, rtol=1e-5
+    )
+    g_ref = jax.grad(lambda p: jnp.mean(tr(p, x) * w))(p)
+    g = jax.grad(lambda p: jnp.mean(run(p) * w))(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        ),
+        g_ref, g,
+    )
+    with pytest.raises(ValueError, match="not divisible by mesh axis"):
+        pipelined_transformer(
+            tr, p, x[:6], mesh, num_microbatches=2, data_axis="data"
+        )
