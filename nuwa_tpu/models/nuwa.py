@@ -255,7 +255,8 @@ class NUWA(Module):
 
     def _decode_logits(
         self, p, frame_indices_input, text_embeds, text_mask, *, key=None,
-        train=False, cp_mesh=None,
+        train=False, cp_mesh=None, pp_mesh=None, pp_microbatches=1,
+        pp_data_axis=None,
     ):
         """frame_indices_input: (b, n) already teacher-force shifted."""
         b, n = frame_indices_input.shape
@@ -266,14 +267,36 @@ class NUWA(Module):
         emb = jnp.concatenate([bos, emb], axis=1)
         if self._dtype is not None:
             emb = emb.astype(self._dtype)
-        out = self.video_transformer(
-            p["video_transformer"],
-            emb,
-            context=text_embeds,
-            context_mask=text_mask,
-            key=key,
-            cp_mesh=cp_mesh,
-        )
+        if pp_mesh is not None:
+            # GPipe over the 'pipe' mesh axis (parallel/pipeline.py);
+            # reversible stacks run their own custom_vjp sequence and are
+            # not pipelineable
+            assert not self.dec_reversible, (
+                "pipeline parallelism requires dec_reversible=False"
+            )
+            assert cp_mesh is None, "PP does not compose with CP"
+            from ..parallel.pipeline import pipelined_transformer
+
+            out = pipelined_transformer(
+                self.video_transformer,
+                p["video_transformer"],
+                emb,
+                pp_mesh,
+                num_microbatches=pp_microbatches,
+                data_axis=pp_data_axis,
+                context=text_embeds,
+                context_mask=text_mask,
+                key=key,
+            )
+        else:
+            out = self.video_transformer(
+                p["video_transformer"],
+                emb,
+                context=text_embeds,
+                context_mask=text_mask,
+                key=key,
+                cp_mesh=cp_mesh,
+            )
         # logits matmul in the compute dtype (vocab dim is the big one);
         # cross_entropy upcasts to fp32 before the softmax
         from ..utils.quantize import dequant
@@ -293,6 +316,9 @@ class NUWA(Module):
         key=None,
         train=False,
         cp_mesh=None,
+        pp_mesh=None,
+        pp_microbatches=1,
+        pp_data_axis=None,
     ):
         b = text.shape[0]
         text_mask = text != 0
@@ -325,7 +351,9 @@ class NUWA(Module):
             text_mask = text_mask & ~uncond[:, None]
 
         logits = self._decode_logits(
-            p, inp, text_embeds, text_mask, key=dkey, train=train, cp_mesh=cp_mesh
+            p, inp, text_embeds, text_mask, key=dkey, train=train,
+            cp_mesh=cp_mesh, pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            pp_data_axis=pp_data_axis,
         )
         if not return_loss:
             return logits

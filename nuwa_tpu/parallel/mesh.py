@@ -14,12 +14,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def make_mesh(data: int = -1, model: int = 1, context: int = 1,
-              devices=None) -> Mesh:
+              pipe: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh — or ('data', 'model', 'context') when
     ``context > 1`` (DPxCP: batch over 'data', frame-axis context
-    parallelism over 'context'). ``data=-1`` consumes the remainder."""
+    parallelism over 'context'), or ('data', 'pipe') when ``pipe > 1``
+    (PPxDP: GPipe stages over 'pipe' — parallel/pipeline.py).
+    ``data=-1`` consumes the remainder."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if pipe > 1:
+        assert model == 1 and context == 1, (
+            "pipe composes with 'data' only (stage params are replicated "
+            "across every other axis)"
+        )
+        if data == -1:
+            assert n % pipe == 0, f"{n} devices not divisible by pipe={pipe}"
+            data = n // pipe
+        assert data * pipe == n, f"mesh {data}x{pipe} != {n} devices"
+        arr = np.asarray(devices).reshape(data, pipe)
+        return Mesh(arr, ("data", "pipe"))
     if data == -1:
         assert n % (model * context) == 0, (
             f"{n} devices not divisible by model*context={model * context}"

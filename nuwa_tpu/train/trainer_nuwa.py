@@ -51,6 +51,8 @@ class NUWATrainer:
         tokenizer=None,
         mesh=None,
         context_parallel=False,
+        pipeline_parallel=False,
+        pipeline_microbatches=1,
     ):
         self.nuwa = nuwa
         self.num_train_steps = num_train_steps
@@ -75,8 +77,15 @@ class NUWATrainer:
         # ---- SPMD: DP over 'data' (+ TP over 'model' via the param rules)
         self.mesh = mesh
         self.context_parallel = context_parallel
+        self.pipeline_parallel = pipeline_parallel
+        self.pipeline_microbatches = pipeline_microbatches
         if context_parallel:
             assert mesh is not None, "context_parallel requires a mesh"
+        if pipeline_parallel:
+            assert mesh is not None and "pipe" in getattr(
+                mesh, "axis_names", ()
+            ), "pipeline_parallel requires a mesh with a 'pipe' axis"
+            assert not context_parallel, "PP does not compose with CP"
         if mesh is not None and (
             not context_parallel
             or "context" in getattr(mesh, "axis_names", ())
@@ -95,7 +104,13 @@ class NUWATrainer:
         if mesh is not None:
             from ..parallel import replicated, shard_params
 
-            params = shard_params(params, mesh)
+            if pipeline_parallel:
+                # the pipeline stacks + shards stage params over 'pipe'
+                # inside its shard_map; the train state stays replicated
+                # (the TP param rules name a 'model' axis this mesh lacks)
+                params = jax.device_put(params, replicated(mesh))
+            else:
+                params = shard_params(params, mesh)
             key0 = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
             step0 = jax.device_put(jnp.asarray(0, jnp.int32), replicated(mesh))
         else:
@@ -113,11 +128,15 @@ class NUWATrainer:
             if restored is not None:
                 step, self.state = restored
                 if mesh is not None:
-                    from ..parallel import shard_params
+                    from ..parallel import replicated, shard_params
 
                     # re-commit param shardings; restored opt-state leaves
                     # stay uncommitted and jit places them to match usage
-                    self.state["params"] = shard_params(self.state["params"], mesh)
+                    self.state["params"] = (
+                        jax.device_put(self.state["params"], replicated(mesh))
+                        if pipeline_parallel
+                        else shard_params(self.state["params"], mesh)
+                    )
                 print(f"resumed from checkpoint at step {step}")
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
@@ -126,11 +145,19 @@ class NUWATrainer:
         nuwa, tx, accum = self.nuwa, self.tx, self.grad_accum_every
         cdp = self.cond_dropout_prob
         cp_mesh = self.mesh if self.context_parallel else None
+        pp_mesh = self.mesh if self.pipeline_parallel else None
+        pp_mb = self.pipeline_microbatches
+        pp_data = (
+            "data"
+            if pp_mesh is not None and "data" in pp_mesh.axis_names
+            else None
+        )
 
         def loss_fn(params, text, video, key):
             return nuwa.forward(
                 params, text=text, video=video, return_loss=True,
                 cond_dropout_prob=cdp, key=key, train=True, cp_mesh=cp_mesh,
+                pp_mesh=pp_mesh, pp_microbatches=pp_mb, pp_data_axis=pp_data,
             )
 
         def step(state, texts, videos):
