@@ -205,7 +205,8 @@ class NUWASketch(Module):
     # ---- decoder ----------------------------------------------------------
 
     def _decode_logits(self, p, inp, sketch_embeds, context_mask, *, key=None,
-                       train=False, cp_mesh=None):
+                       train=False, cp_mesh=None, pp_mesh=None,
+                       pp_microbatches=1, pp_data_axis=None):
         b, n = inp.shape
         emb = self._image_embedding(p["image_embedding"], inp, train=train)
         pos = AxialPositionalEmbedding(self.dim, shape=self.video_shape)(
@@ -216,10 +217,24 @@ class NUWASketch(Module):
         emb = jnp.concatenate([bos, emb], axis=1)
         if self._dtype is not None:
             emb = emb.astype(self._dtype)
-        out = self.video_transformer(
-            p["video_transformer"], emb, context=sketch_embeds,
-            context_mask=context_mask, key=key, cp_mesh=cp_mesh,
-        )
+        if pp_mesh is not None:
+            assert not self.dec_reversible, (
+                "pipeline parallelism requires dec_reversible=False"
+            )
+            assert cp_mesh is None, "PP does not compose with CP"
+            from ..parallel.pipeline import pipelined_transformer
+
+            out = pipelined_transformer(
+                self.video_transformer, p["video_transformer"], emb,
+                pp_mesh, num_microbatches=pp_microbatches,
+                data_axis=pp_data_axis, context=sketch_embeds,
+                context_mask=context_mask, key=key,
+            )
+        else:
+            out = self.video_transformer(
+                p["video_transformer"], emb, context=sketch_embeds,
+                context_mask=context_mask, key=key, cp_mesh=cp_mesh,
+            )
         from ..utils.quantize import dequant
 
         return jnp.dot(out, dequant(p["to_logits"], out.dtype))
@@ -238,6 +253,9 @@ class NUWASketch(Module):
         key=None,
         train=False,
         cp_mesh=None,
+        pp_mesh=None,
+        pp_microbatches=1,
+        pp_data_axis=None,
     ):
         if sketch.ndim == 4:  # single sketch convenience (:2525-2526)
             sketch = sketch[:, None]
@@ -268,7 +286,8 @@ class NUWASketch(Module):
 
         logits = self._decode_logits(
             p, inp, sketch_embeds, context_mask, key=dkey, train=train,
-            cp_mesh=cp_mesh,
+            cp_mesh=cp_mesh, pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches, pp_data_axis=pp_data_axis,
         )
         if not return_loss:
             return logits

@@ -900,3 +900,36 @@ def test_nuwa_trainer_pipeline_parallel(tmp_path):
     t_pp.train(log_fn=lambda logs: losses_pp.append(logs["loss"]))
 
     np.testing.assert_allclose(losses_pp, losses_plain, rtol=2e-4)
+
+
+def test_sketch_model_forward_pipeline_parallel():
+    """NUWASketch.forward(pp_mesh=...): the SparseCross2DNA decoder pipelines
+    (dec_depth 4, dilation cycle (1, 2), 2 stages); loss matches plain."""
+    from jax.sharding import Mesh
+
+    from conftest import make_tiny_vae
+    from nuwa_tpu.models import NUWASketch
+
+    vae, svae = make_tiny_vae(3), make_tiny_vae(5)
+    k = jax.random.PRNGKey(0)
+    model = NUWASketch(
+        vae=vae, sketch_vae=svae, dim=16, image_size=8,
+        max_video_frames=8, sketch_max_video_frames=1,
+        sketch_enc_depth=1, sketch_enc_dim_head=8, sketch_enc_heads=2,
+        dec_depth=4, dec_dim_head=8, dec_heads=2,
+        sparse_3dna_kernel_size=3, sparse_3dna_dilation=(1, 2),
+    )
+    p = model.init(
+        k, vae_params=vae.init(k), vae_state=vae.init_state(k),
+        sketch_vae_params=svae.init(k), sketch_vae_state=svae.init_state(k),
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    sketch = jax.random.uniform(k, (2, 1, 5, 8, 8))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 3, 8, 8))
+
+    ref = model.forward(p, sketch=sketch, video=video, return_loss=True)
+    pp = model.forward(
+        p, sketch=sketch, video=video, return_loss=True,
+        pp_mesh=mesh, pp_microbatches=2,
+    )
+    np.testing.assert_allclose(float(pp), float(ref), rtol=1e-5)
