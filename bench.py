@@ -384,6 +384,43 @@ def bench_generate_long(frames_total=8, max_frames=4, fmap=8, dim=512,
     return {"tokens_per_sec": batch * total / dt, "seconds": dt}
 
 
+def bench_cross_op(fmap=16, frames=10, ctx_frames=1, dim=512, heads=8,
+                   dim_head=64, batch=8, seed=0):
+    """SparseCross2DNA op fwd+bwd: fused Pallas kernels vs the gather oracle
+    (the sketch decoder's cross attention at the bench config — VERDICT r3
+    #2; docs/BENCHMARKS.md round-4 cross table)."""
+    from nuwa_tpu.nda import SparseCross2DNA
+
+    key = jax.random.PRNGKey(seed)
+    hw = fmap * fmap
+    t = frames * hw
+    gather = SparseCross2DNA(
+        dim=dim, image_size=fmap, heads=heads, dim_head=dim_head,
+        kernel_size=3, dilation=1, backend="gather",
+    )
+    pallas = gather.replace(backend="pallas", use_pallas=True)
+    p = gather.init(key)
+    x = jax.random.normal(key, (batch, 1 + t, dim))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (batch, ctx_frames * hw, dim))
+    w = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+
+    def timed(mod):
+        g = jax.jit(jax.grad(
+            lambda p, x, c: jnp.sum(mod(p, x, context=c) * w)
+        ))
+        disp = lambda: g(p, x, ctx)["to_q"]["w"]
+        _sync(jnp.sum(disp()))
+        return _rate(disp)
+
+    dt_g = timed(gather)
+    dt_p = timed(pallas)
+    return {
+        "gather_ms": dt_g * 1e3,
+        "pallas_ms": dt_p * 1e3,
+        "speedup": dt_g / dt_p,
+    }
+
+
 def bench_torch_cpu_decode(frames=4, fmap=8, dim=512, depth=6, heads=8,
                            text_len=32, probe_steps=8):
     """PyTorch-CPU baseline probe: a dense causal transformer decoder of the
@@ -528,6 +565,12 @@ def main():
         line["dual_train_tokens_per_sec"] = round(du["train_tokens_per_sec"], 2)
     except Exception as e:  # pragma: no cover
         line["dual_train_error"] = repr(e)[:200]
+    try:
+        xo = bench_cross_op()
+        line["cross_op_fwdbwd_speedup_vs_gather"] = round(xo["speedup"], 3)
+        line["cross_op_fwdbwd_pallas_ms"] = round(xo["pallas_ms"], 3)
+    except Exception as e:  # pragma: no cover
+        line["cross_op_error"] = repr(e)[:200]
 
     print(json.dumps(line))
 
