@@ -157,3 +157,32 @@ def test_step_timer_and_force_completion():
     s = t.summary()
     assert s["steps"] == 2
     assert s["mean_s"] > 0
+
+
+def test_model_jit_cache_evicts_least_recently_used():
+    """The memoized-jit layer must keep hot entries alive at capacity: a
+    re-trace of a hot rollout costs multi-minute compiles through the
+    tunnel (round-4 review finding — eviction was insertion-ordered)."""
+    from nuwa_tpu.models.common import _ModelJitCache
+
+    import jax.numpy as jnp
+
+    calls = []
+
+    def build(tag, val):
+        def make():
+            calls.append(tag)
+            return lambda: jnp.asarray(val)
+        return make
+
+    cache = _ModelJitCache(maxsize=2)
+    assert int(cache("m", "a", build("a", 1))()) == 1
+    assert int(cache("m", "b", build("b", 2))()) == 2
+    # touch 'a' so 'b' is the least recently used
+    assert int(cache("m", "a", build("a!", 10))()) == 1
+    assert calls == ["a", "b"]
+    # inserting 'c' at capacity must evict 'b', not the hot 'a'
+    assert int(cache("m", "c", build("c", 3))()) == 3
+    assert int(cache("m", "a", build("a-retraced", 11))()) == 1
+    assert calls == ["a", "b", "c"]
+    assert int(cache("m", "b", build("b-retraced", 20))()) == 20
