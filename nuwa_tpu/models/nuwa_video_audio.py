@@ -288,15 +288,36 @@ class NUWAVideoAudio(Module):
 
     def _decode(
         self, p, video_inp, audio_inp, text_embeds, text_mask, *, key=None,
-        train=False, cp_mesh=None,
+        train=False, cp_mesh=None, pp_mesh=None, pp_microbatches=1,
+        pp_data_axis=None,
     ):
         v = self._embed_video_tokens(p, video_inp, train)
         a = self._embed_audio_tokens(p, audio_inp, train)
-        v, a = self.video_audio_transformer(
-            p["video_audio_transformer"], v, a,
-            context=text_embeds, context_mask=text_mask, key=key,
-            cp_mesh=cp_mesh,
-        )
+        if pp_mesh is not None:
+            # GPipe both modality streams over the 'pipe' mesh axis
+            # (parallel/pipeline.pipelined_dual_decoder); the reversible
+            # quad-stream runtime runs its own custom_vjp sequence and is
+            # not pipelineable
+            assert not self.dec_reversible, (
+                "pipeline parallelism requires dec_reversible=False"
+            )
+            assert cp_mesh is None, "PP does not compose with CP"
+            from ..parallel.pipeline import pipelined_dual_decoder
+
+            v, a = pipelined_dual_decoder(
+                self.video_audio_transformer,
+                p["video_audio_transformer"],
+                v, a, pp_mesh,
+                num_microbatches=pp_microbatches,
+                data_axis=pp_data_axis,
+                context=text_embeds, context_mask=text_mask, key=key,
+            )
+        else:
+            v, a = self.video_audio_transformer(
+                p["video_audio_transformer"], v, a,
+                context=text_embeds, context_mask=text_mask, key=key,
+                cp_mesh=cp_mesh,
+            )
         return (
             jnp.dot(v, dequant(p["to_video_logits"], v.dtype)),
             jnp.dot(a, dequant(p["to_audio_logits"], a.dtype)),
@@ -316,6 +337,9 @@ class NUWAVideoAudio(Module):
         key=None,
         train=False,
         cp_mesh=None,
+        pp_mesh=None,
+        pp_microbatches=1,
+        pp_data_axis=None,
     ):
         b = text.shape[0]
         text_mask = text != 0
@@ -343,7 +367,8 @@ class NUWAVideoAudio(Module):
 
         video_logits, audio_logits = self._decode(
             p, video_inp, audio_inp, text_embeds, text_mask, key=dkey,
-            train=train, cp_mesh=cp_mesh,
+            train=train, cp_mesh=cp_mesh, pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches, pp_data_axis=pp_data_axis,
         )
         if not return_loss:
             return video_logits, audio_logits

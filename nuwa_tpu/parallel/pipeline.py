@@ -32,10 +32,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.layers import StableLayerNorm
 
 
-def validate_stages(transformer, n_stages: int) -> int:
-    """Check the layer menu splits into ``n_stages`` statically identical
-    stages; returns the per-stage menu length."""
-    menu = transformer.layer_menu
+def _validate_menu(menu, n_stages: int) -> int:
+    """Check a static layer menu splits into ``n_stages`` statically
+    identical stages; returns the per-stage menu length. Menu entries are
+    tuples whose leading elements are (kind, module(s)) — modules are frozen
+    dataclasses, so equality is a static-config comparison."""
     if len(menu) % n_stages:
         raise ValueError(
             f"menu of {len(menu)} layer entries does not split into "
@@ -44,17 +45,21 @@ def validate_stages(transformer, n_stages: int) -> int:
     L = len(menu) // n_stages
     base = menu[:L]
     for s in range(1, n_stages):
-        for j, ((k0, m0), (k1, m1)) in enumerate(
-            zip(base, menu[s * L : (s + 1) * L])
-        ):
-            if k0 != k1 or m0 != m1:
+        for j, (e0, e1) in enumerate(zip(base, menu[s * L : (s + 1) * L])):
+            if e0[0] != e1[0] or e0[1] != e1[1]:
                 raise ValueError(
-                    f"stage {s} entry {j} ({k1}: {m1}) differs from stage 0 "
-                    f"({k0}: {m0}) — pipeline stages must be statically "
-                    f"identical (depth must be a multiple of n_stages x the "
-                    f"dilation cycle)"
+                    f"stage {s} entry {j} ({e1[0]}: {e1[1]}) differs from "
+                    f"stage 0 ({e0[0]}: {e0[1]}) — pipeline stages must be "
+                    f"statically identical (depth must be a multiple of "
+                    f"n_stages x the schedule cycle)"
                 )
     return L
+
+
+def validate_stages(transformer, n_stages: int) -> int:
+    """Check the layer menu splits into ``n_stages`` statically identical
+    stages; returns the per-stage menu length."""
+    return _validate_menu(transformer.layer_menu, n_stages)
 
 
 def stack_stage_params(layer_params, n_stages: int):
@@ -229,3 +234,196 @@ def pipelined_transformer(
     )(*args)
     out = out.reshape(b, *x.shape[1:])
     return StableLayerNorm(transformer.dim)(p["norm"], out)
+
+
+def validate_dual_stages(decoder, n_stages: int) -> int:
+    """Stage-periodicity check for the dual decoder's quad-stream schedule
+    (self / cross / every-k xmod blocks): ``depth`` must be a multiple of
+    ``n_stages * lcm(cross_modality_attn_every, dilation cycles)`` so every
+    stage carries the same (kind, modules) slice."""
+    return _validate_menu(decoder.blocks(), n_stages)
+
+
+def pipelined_dual_decoder(
+    decoder,
+    p,
+    video,
+    audio,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    axis: str = "pipe",
+    data_axis: str | None = None,
+    context=None,
+    context_mask=None,
+    video_mask=None,
+    audio_mask=None,
+    key=None,
+):
+    """GPipe the (non-reversible) ``DualModalityDecoder`` over
+    ``mesh.shape[axis]`` stages: both modality streams ride the same
+    pipeline, shifted together stage→stage with one ``lax.ppermute`` each.
+
+    Reference semantics being pipelined:
+    /root/reference/nuwa_pytorch/nuwa_pytorch.py:1299-1487 (per-depth video∥
+    audio self blocks, video/audio→text cross blocks, every-k cross-modality
+    exchange). The xmod blocks couple the streams *within* a stage, so both
+    streams must live on the same device — which the twin-carry design
+    guarantees — while stage boundaries only ever cut at whole-block seams.
+
+    Matches the plain decoder exactly when dropout is off; with dropout,
+    per-block keys are folded with (global block index, microbatch index),
+    same caveat as ``pipelined_transformer``.
+    """
+    S = mesh.shape[axis]
+    L = validate_dual_stages(decoder, S)
+    blocks = decoder.blocks()
+    stage_menu = blocks[:L]
+    b = video.shape[0]
+    M = num_microbatches
+    if b % M:
+        raise ValueError(f"batch {b} not divisible by {M} microbatches")
+    mb = b // M
+    if data_axis is not None and mb % mesh.shape[data_axis]:
+        raise ValueError(
+            f"microbatch rows {mb} not divisible by mesh axis "
+            f"{data_axis}={mesh.shape[data_axis]}"
+        )
+    norm = StableLayerNorm(decoder.dim)
+    if S == 1:
+        v, a = decoder(
+            p, video, audio, context=context, context_mask=context_mask,
+            video_mask=video_mask, audio_mask=audio_mask, key=key,
+        )
+        return v, a
+
+    stacked = stack_stage_params(p["layers"], S)
+
+    def mb_split(x):
+        return None if x is None else x.reshape(M, mb, *x.shape[1:])
+
+    vm, am = mb_split(video), mb_split(audio)
+    ctx_m = mb_split(context)
+    cmask_m = mb_split(context_mask)
+    vmask_m = mb_split(video_mask)
+    amask_m = mb_split(audio_mask)
+
+    row_spec = P(None, data_axis) if data_axis is not None else P()
+
+    args = [stacked, vm, am]
+    specs = [jax.tree.map(lambda _: P(axis), stacked), row_spec, row_spec]
+    opt_names = []
+    for name, val in (
+        ("context", ctx_m),
+        ("context_mask", cmask_m),
+        ("video_mask", vmask_m),
+        ("audio_mask", amask_m),
+        ("key", key),
+    ):
+        if val is not None:
+            args.append(val)
+            specs.append(P() if name == "key" else row_spec)
+            opt_names.append(name)
+
+    def body(stacked_local, vm, am, *opts):
+        opt = dict(zip(opt_names, opts))
+        sp = jax.tree.map(lambda a: a[0], stacked_local)
+        s_idx = jax.lax.axis_index(axis)
+        T = M + S - 1
+
+        def pick(a, i):
+            return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+        def stage_fn(v, a, mb_i):
+            ctx = None if "context" not in opt else pick(opt["context"], mb_i)
+            cmask = (
+                None if "context_mask" not in opt
+                else pick(opt["context_mask"], mb_i)
+            )
+            vmask = (
+                None if "video_mask" not in opt
+                else pick(opt["video_mask"], mb_i)
+            )
+            amask = (
+                None if "audio_mask" not in opt
+                else pick(opt["audio_mask"], mb_i)
+            )
+            for j, (btype, mods, _) in enumerate(stage_menu):
+                f, g, jj, k = mods
+                lp = sp[j]
+                kf = kg = kj = kk = None
+                if "key" in opt:
+                    lk = jax.random.fold_in(opt["key"], s_idx * L + j)
+                    lk = jax.random.fold_in(lk, mb_i)
+                    if data_axis is not None:
+                        lk = jax.random.fold_in(
+                            lk, jax.lax.axis_index(data_axis)
+                        )
+                    kf, kg, kj, kk = jax.random.split(lk, 4)
+                if btype == "self":
+                    v = f(lp["f"], v, mask=vmask, key=kf) + v
+                    v = g(lp["g"], v, key=kg) + v
+                    a = jj(lp["j"], a, mask=amask, key=kj) + a
+                    a = k(lp["k"], a, key=kk) + a
+                elif btype == "cross":
+                    v = f(lp["f"], v, context=ctx, mask=vmask,
+                          context_mask=cmask, key=kf) + v
+                    v = g(lp["g"], v, key=kg) + v
+                    a = jj(lp["j"], a, context=ctx, mask=amask,
+                           context_mask=cmask, key=kj) + a
+                    a = k(lp["k"], a, key=kk) + a
+                else:  # xmod — attends the pre-update opposite stream
+                    v_new = f(lp["f"], v, a, mask=vmask,
+                              context_mask=amask, key=kf) + v
+                    a_new = jj(lp["j"], a, v, mask=amask,
+                               context_mask=vmask, key=kj) + a
+                    v = k(lp["k"], v_new, key=kk) + v_new
+                    a = g(lp["g"], a_new, key=kg) + a_new
+            return v, a
+
+        def step(carry, i):
+            (v_act, a_act), (v_out, a_out) = carry
+            v = jnp.where(s_idx == 0, pick(vm, jnp.clip(i, 0, M - 1)), v_act)
+            a = jnp.where(s_idx == 0, pick(am, jnp.clip(i, 0, M - 1)), a_act)
+            my_mb = jnp.clip(i - s_idx, 0, M - 1)
+            v, a = stage_fn(v, a, my_mb)
+            perm = [(d, d + 1) for d in range(S - 1)]
+            v_next = jax.lax.ppermute(v, axis, perm)
+            a_next = jax.lax.ppermute(a, axis, perm)
+            out_i = jnp.clip(i - (S - 1), 0, M - 1)
+            emit = jnp.logical_and(s_idx == S - 1, i >= S - 1)
+            v_out = jnp.where(
+                emit,
+                jax.lax.dynamic_update_index_in_dim(v_out, v, out_i, 0),
+                v_out,
+            )
+            a_out = jnp.where(
+                emit,
+                jax.lax.dynamic_update_index_in_dim(a_out, a, out_i, 0),
+                a_out,
+            )
+            return ((v_next, a_next), (v_out, a_out)), None
+
+        vaxes = (axis,) + ((data_axis,) if data_axis is not None else ())
+        act0 = (
+            jax.lax.pcast(jnp.zeros(vm.shape[1:], vm.dtype), vaxes, to="varying"),
+            jax.lax.pcast(jnp.zeros(am.shape[1:], am.dtype), vaxes, to="varying"),
+        )
+        out0 = (
+            jax.lax.pcast(jnp.zeros_like(vm), (axis,), to="varying"),
+            jax.lax.pcast(jnp.zeros_like(am), (axis,), to="varying"),
+        )
+        (_, (v_out, a_out)), _ = jax.lax.scan(
+            step, (act0, out0), jnp.arange(T), length=T
+        )
+        v_out = jnp.where(s_idx == S - 1, v_out, jnp.zeros_like(v_out))
+        a_out = jnp.where(s_idx == S - 1, a_out, jnp.zeros_like(a_out))
+        return jax.lax.psum(v_out, axis), jax.lax.psum(a_out, axis)
+
+    v_out, a_out = shard_map(
+        body, mesh=mesh, in_specs=tuple(specs),
+        out_specs=(row_spec, row_spec),
+    )(*args)
+    v_out = v_out.reshape(b, *video.shape[1:])
+    a_out = a_out.reshape(b, *audio.shape[1:])
+    return norm(p["video_norm"], v_out), norm(p["audio_norm"], a_out)

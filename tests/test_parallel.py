@@ -933,3 +933,160 @@ def test_sketch_model_forward_pipeline_parallel():
         pp_mesh=mesh, pp_microbatches=2,
     )
     np.testing.assert_allclose(float(pp), float(ref), rtol=1e-5)
+
+
+def test_pipeline_dual_decoder_forward_and_grad_parity():
+    """Pipelined dual decoder == plain (forward and parameter grads) at
+    S=2/M=2 with an xmod block in every stage (cross_modality_attn_every=1)."""
+    from nuwa_tpu.dual_decoder import DualModalityDecoder
+    from nuwa_tpu.parallel.pipeline import pipelined_dual_decoder
+
+    d = DualModalityDecoder(
+        dim=16, depth=2, heads=2, dim_head=8,
+        num_video_tokens_per_frame=4, num_audio_tokens_per_video_frame=3,
+        sparse_3dna_video_shape=(2, 2, 2), sparse_2dna_kernel_size=3,
+        cross_modality_attn_every=1, audio_tokens_per_timestep=1,
+    )
+    p = d.init(KEY)
+    video = jax.random.normal(KEY, (4, 9, 16))  # bos + 2 frames of 4
+    audio = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 16))  # bos + 6
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 5, 16))
+    cmask = jnp.ones((4, 5), bool).at[:, 4:].set(False)
+    wv = jax.random.normal(jax.random.PRNGKey(3), video.shape)
+    wa = jax.random.normal(jax.random.PRNGKey(4), audio.shape)
+
+    vref, aref = d(p, video, audio, context=ctx, context_mask=cmask)
+    mesh = _pipe_mesh(2)
+    v, a = pipelined_dual_decoder(
+        d, p, video, audio, mesh, num_microbatches=2,
+        context=ctx, context_mask=cmask,
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(aref), atol=1e-5, rtol=1e-5)
+
+    def loss_plain(p):
+        v, a = d(p, video, audio, context=ctx, context_mask=cmask)
+        return jnp.mean(v * wv) + jnp.mean(a * wa)
+
+    def loss_pp(p):
+        v, a = pipelined_dual_decoder(
+            d, p, video, audio, mesh, num_microbatches=2,
+            context=ctx, context_mask=cmask,
+        )
+        return jnp.mean(v * wv) + jnp.mean(a * wa)
+
+    g_ref = jax.grad(loss_plain)(p)
+    g = jax.grad(loss_pp)(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g_ref, g,
+    )
+
+
+def test_pipeline_dual_decoder_stage_validation():
+    """Schedules whose xmod period does not divide the stage length are
+    rejected loudly (cross_modality_attn_every=2 puts the xmod block in
+    stage 1 only)."""
+    from nuwa_tpu.dual_decoder import DualModalityDecoder
+    from nuwa_tpu.parallel.pipeline import validate_dual_stages
+
+    d = DualModalityDecoder(
+        dim=16, depth=2, heads=2, dim_head=8,
+        num_video_tokens_per_frame=4, num_audio_tokens_per_video_frame=3,
+        sparse_3dna_video_shape=(2, 2, 2), sparse_2dna_kernel_size=3,
+        cross_modality_attn_every=2, audio_tokens_per_timestep=1,
+    )
+    # menu = [self, cross, self, cross, xmod] — 5 entries
+    with pytest.raises(ValueError, match="does not split"):
+        validate_dual_stages(d, 2)
+    # dilation cycle (1, 2) with one depth per stage: kernels differ
+    d2 = DualModalityDecoder(
+        dim=16, depth=2, heads=2, dim_head=8,
+        num_video_tokens_per_frame=4, num_audio_tokens_per_video_frame=3,
+        sparse_3dna_video_shape=(2, 2, 2), sparse_2dna_kernel_size=3,
+        cross_modality_attn_every=1, audio_tokens_per_timestep=1,
+        sparse_3dna_dilations=(1, 2),
+    )
+    with pytest.raises(ValueError, match="statically identical"):
+        validate_dual_stages(d2, 2)
+
+
+def test_nuwa_video_audio_forward_pipeline_parallel():
+    """Model-level PP on the dual model: loss + grads == plain, and the
+    reversible decoder is rejected loudly."""
+    from jax.sharding import Mesh
+
+    from conftest import make_tiny_vae
+    from nuwa_tpu.models import NUWAVideoAudio
+
+    vae = make_tiny_vae(3)
+    k = jax.random.PRNGKey(0)
+    model = NUWAVideoAudio(
+        vae=vae, dim=16, image_size=8,
+        num_audio_tokens=12, num_audio_tokens_per_video_frame=3,
+        max_video_frames=2, text_num_tokens=32, text_max_seq_len=16,
+        text_enc_depth=1, text_enc_dim_head=8, text_enc_heads=2,
+        dec_depth=2, dec_dim_head=8, dec_heads=2, dec_reversible=False,
+        cross_modality_attn_every=1, sparse_2dna_kernel_size=3,
+    )
+    p = model.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k))
+    text = jnp.tile(jnp.array([[1, 2, 3, 0]]), (4, 1))
+    video = jax.random.uniform(k, (4, 2, 3, 8, 8))
+    audio = jax.random.randint(k, (4, 2 * 3), 0, 12)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+
+    loss_ref, g_ref = jax.value_and_grad(
+        lambda p: model.forward(
+            p, text=text, video=video, audio=audio, return_loss=True
+        )
+    )(p)
+    loss_pp, g_pp = jax.value_and_grad(
+        lambda p: model.forward(
+            p, text=text, video=video, audio=audio, return_loss=True,
+            pp_mesh=mesh, pp_microbatches=2,
+        )
+    )(p)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        ),
+        g_ref, g_pp,
+    )
+
+    rev = model.replace(dec_reversible=True)
+    with pytest.raises(AssertionError, match="dec_reversible=False"):
+        rev.forward(
+            rev.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k)),
+            text=text, video=video, audio=audio, return_loss=True,
+            pp_mesh=mesh, pp_microbatches=2,
+        )
+
+
+def test_pipeline_dual_decoder_x_data_parallel():
+    """PP×DP for the dual decoder on a ('data', 'pipe') mesh."""
+    from jax.sharding import Mesh
+
+    from nuwa_tpu.dual_decoder import DualModalityDecoder
+    from nuwa_tpu.parallel.pipeline import pipelined_dual_decoder
+
+    d = DualModalityDecoder(
+        dim=16, depth=2, heads=2, dim_head=8,
+        num_video_tokens_per_frame=4, num_audio_tokens_per_video_frame=3,
+        sparse_3dna_video_shape=(2, 2, 2), sparse_2dna_kernel_size=3,
+        cross_modality_attn_every=1, audio_tokens_per_timestep=1,
+    )
+    p = d.init(KEY)
+    video = jax.random.normal(KEY, (8, 9, 16))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (8, 7, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (8, 5, 16))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "pipe"))
+    vref, aref = d(p, video, audio, context=ctx)
+    v, a = pipelined_dual_decoder(
+        d, p, video, audio, mesh, num_microbatches=2,
+        data_axis="data", context=ctx,
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(aref), atol=1e-5, rtol=1e-5)
