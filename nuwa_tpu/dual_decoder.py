@@ -37,6 +37,55 @@ from .reversible_dual import dual_reversible_sequence
 from .transformer import BindCP, Sandwich, ShiftAudio, ShiftVideo
 
 
+def apply_dual_block(
+    btype, mods, lp, video, audio, *, context=None, context_mask=None,
+    video_mask=None, audio_mask=None, keys=(None, None, None, None),
+    cp_mesh=None,
+):
+    """One schedule entry of the non-reversible dual decoder: updates the
+    (video, audio) stream pair through the block's four sandwiched modules.
+    Shared by the plain forward and the pipelined runtime so a
+    ``jax.checkpoint`` wrapper sees the same (lp, video, audio, keys)
+    positional signature in both."""
+    f, g, j, k = mods
+    kf, kg, kj, kk = keys
+    if btype == "self":
+        # frame-axis context parallelism applies to the video tower's
+        # 3DNA only (audio 2DNA and cross blocks stay replicated)
+        video = f(lp["f"], video, mask=video_mask, key=kf, cp_mesh=cp_mesh) + video
+        video = g(lp["g"], video, key=kg) + video
+        audio = j(lp["j"], audio, mask=audio_mask, key=kj) + audio
+        audio = k(lp["k"], audio, key=kk) + audio
+    elif btype == "cross":
+        video = (
+            f(lp["f"], video, context=context, mask=video_mask,
+              context_mask=context_mask, key=kf)
+            + video
+        )
+        video = g(lp["g"], video, key=kg) + video
+        audio = (
+            j(lp["j"], audio, context=context, mask=audio_mask,
+              context_mask=context_mask, key=kj)
+            + audio
+        )
+        audio = k(lp["k"], audio, key=kk) + audio
+    else:  # xmod — non-reversible attends the pre-update streams
+        video_new = (
+            f(lp["f"], video, audio, mask=video_mask,
+              context_mask=audio_mask, key=kf)
+            + video
+        )
+        audio_new = (
+            j(lp["j"], audio, video, mask=audio_mask,
+              context_mask=video_mask, key=kj)
+            + audio
+        )
+        # g is the audio-stream ff, k the video-stream ff
+        video = k(lp["k"], video_new, key=kk) + video_new
+        audio = g(lp["g"], audio_new, key=kg) + audio_new
+    return video, audio
+
+
 @dataclass(frozen=True)
 class DualModalityDecoder(Module):
     dim: int
@@ -64,6 +113,9 @@ class DualModalityDecoder(Module):
     shift_audio_tokens: bool = False
     audio_tokens_per_timestep: int = 1
     cross_modality_attn_every: int = 3
+    remat: bool = False  # jax.checkpoint each block (activation-memory knob
+    # for the non-reversible variant — the pipelined runtime honors it too;
+    # the reversible subclass ignores it, its custom_vjp is already O(1))
 
     # ---- schedule -------------------------------------------------------
 
@@ -257,42 +309,16 @@ class DualModalityDecoder(Module):
             else [None] * (len(blocks) * 4)
         )
         for i, ((btype, mods, _), lp) in enumerate(zip(blocks, p["layers"])):
-            f, g, j, k = mods
-            kf, kg, kj, kk = lkeys[4 * i : 4 * i + 4]
-            if btype == "self":
-                # frame-axis context parallelism applies to the video tower's
-                # 3DNA only (audio 2DNA and cross blocks stay replicated)
-                video = f(lp["f"], video, mask=video_mask, key=kf, cp_mesh=cp_mesh) + video
-                video = g(lp["g"], video, key=kg) + video
-                audio = j(lp["j"], audio, mask=audio_mask, key=kj) + audio
-                audio = k(lp["k"], audio, key=kk) + audio
-            elif btype == "cross":
-                video = (
-                    f(lp["f"], video, context=context, mask=video_mask,
-                      context_mask=context_mask, key=kf)
-                    + video
-                )
-                video = g(lp["g"], video, key=kg) + video
-                audio = (
-                    j(lp["j"], audio, context=context, mask=audio_mask,
-                      context_mask=context_mask, key=kj)
-                    + audio
-                )
-                audio = k(lp["k"], audio, key=kk) + audio
-            else:  # xmod — non-reversible attends the pre-update streams
-                video_new = (
-                    f(lp["f"], video, audio, mask=video_mask,
-                      context_mask=audio_mask, key=kf)
-                    + video
-                )
-                audio_new = (
-                    j(lp["j"], audio, video, mask=audio_mask,
-                      context_mask=video_mask, key=kj)
-                    + audio
-                )
-                # g is the audio-stream ff, k the video-stream ff
-                video = k(lp["k"], video_new, key=kk) + video_new
-                audio = g(lp["g"], audio_new, key=kg) + audio_new
+            blk = lambda lp, v, a, keys, _bt=btype, _mods=mods: apply_dual_block(
+                _bt, _mods, lp, v, a, context=context,
+                context_mask=context_mask, video_mask=video_mask,
+                audio_mask=audio_mask, keys=keys, cp_mesh=cp_mesh,
+            )
+            if self.remat:
+                blk = jax.checkpoint(blk)
+            video, audio = blk(
+                lp, video, audio, tuple(lkeys[4 * i : 4 * i + 4])
+            )
         norm = StableLayerNorm(self.dim)
         return norm(p["video_norm"], video), norm(p["audio_norm"], audio)
 

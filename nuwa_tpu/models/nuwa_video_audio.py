@@ -138,6 +138,8 @@ class NUWAVideoAudio(Module):
     sparse_2dna_backend: str = "auto"
     audio_loss_weight: float = 1.0
     cross_modality_attn_every: int = 3
+    dec_remat: bool = False  # checkpoint each non-reversible decoder block
+    # (the memory knob for PP training, which requires dec_reversible=False)
     compute_dtype: Optional[str] = None
 
     # ---- derived ----------------------------------------------------------
@@ -204,6 +206,7 @@ class NUWAVideoAudio(Module):
             sparse_2dna_rel_pos_bias=self.sparse_2dna_rel_pos_bias,
             sparse_2dna_use_pallas=self.sparse_2dna_use_pallas,
             sparse_2dna_backend=self.sparse_2dna_backend,
+            remat=self.dec_remat,
         )
 
     @property

@@ -348,10 +348,10 @@ def pipelined_dual_decoder(
                 None if "audio_mask" not in opt
                 else pick(opt["audio_mask"], mb_i)
             )
+            from ..dual_decoder import apply_dual_block
+
             for j, (btype, mods, _) in enumerate(stage_menu):
-                f, g, jj, k = mods
-                lp = sp[j]
-                kf = kg = kj = kk = None
+                keys = (None, None, None, None)
                 if "key" in opt:
                     lk = jax.random.fold_in(opt["key"], s_idx * L + j)
                     lk = jax.random.fold_in(lk, mb_i)
@@ -359,26 +359,17 @@ def pipelined_dual_decoder(
                         lk = jax.random.fold_in(
                             lk, jax.lax.axis_index(data_axis)
                         )
-                    kf, kg, kj, kk = jax.random.split(lk, 4)
-                if btype == "self":
-                    v = f(lp["f"], v, mask=vmask, key=kf) + v
-                    v = g(lp["g"], v, key=kg) + v
-                    a = jj(lp["j"], a, mask=amask, key=kj) + a
-                    a = k(lp["k"], a, key=kk) + a
-                elif btype == "cross":
-                    v = f(lp["f"], v, context=ctx, mask=vmask,
-                          context_mask=cmask, key=kf) + v
-                    v = g(lp["g"], v, key=kg) + v
-                    a = jj(lp["j"], a, context=ctx, mask=amask,
-                           context_mask=cmask, key=kj) + a
-                    a = k(lp["k"], a, key=kk) + a
-                else:  # xmod — attends the pre-update opposite stream
-                    v_new = f(lp["f"], v, a, mask=vmask,
-                              context_mask=amask, key=kf) + v
-                    a_new = jj(lp["j"], a, v, mask=amask,
-                               context_mask=vmask, key=kj) + a
-                    v = k(lp["k"], v_new, key=kk) + v_new
-                    a = g(lp["g"], a_new, key=kg) + a_new
+                    keys = tuple(jax.random.split(lk, 4))
+                blk = lambda lp, v, a, keys, _bt=btype, _mods=mods: (
+                    apply_dual_block(
+                        _bt, _mods, lp, v, a, context=ctx,
+                        context_mask=cmask, video_mask=vmask,
+                        audio_mask=amask, keys=keys,
+                    )
+                )
+                if decoder.remat:
+                    blk = jax.checkpoint(blk)
+                v, a = blk(sp[j], v, a, keys)
             return v, a
 
         def step(carry, i):

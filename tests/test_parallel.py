@@ -984,6 +984,29 @@ def test_pipeline_dual_decoder_forward_and_grad_parity():
         g_ref, g,
     )
 
+    # remat inside the pipeline: same values + grads, less live memory
+    dr = d.replace(remat=True)
+    vr, ar = pipelined_dual_decoder(
+        dr, p, video, audio, mesh, num_microbatches=2,
+        context=ctx, context_mask=cmask,
+    )
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(a), atol=1e-6)
+    gr = jax.grad(
+        lambda p: (lambda va: jnp.mean(va[0] * wv) + jnp.mean(va[1] * wa))(
+            pipelined_dual_decoder(
+                dr, p, video, audio, mesh, num_microbatches=2,
+                context=ctx, context_mask=cmask,
+            )
+        )
+    )(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g, gr,
+    )
+
 
 def test_pipeline_dual_decoder_stage_validation():
     """Schedules whose xmod period does not divide the stage length are

@@ -213,3 +213,28 @@ def test_remat_transformer_matches_and_grads():
     g2 = jax.grad(loss, argnums=1)(t_remat, p)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dual_decoder_remat_parity():
+    """remat=True (jax.checkpoint per block) is bit-compatible with the
+    plain dual decoder — forward and grads, with dropout keyed identically
+    (explicit keys are recomputation-stable)."""
+    d = dual_cfg(DualModalityDecoder, depth=2, cross_modality_attn_every=1,
+                 attn_dropout=0.1, ff_dropout=0.1)
+    dr = d.replace(remat=True)
+    p = d.init(KEY)
+    video = jax.random.normal(KEY, (2, 9, 16))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    k = jax.random.PRNGKey(7)
+
+    def loss(mod, p):
+        v, a = mod(p, video, audio, context=ctx, key=k)
+        return jnp.sum(v**2) + jnp.sum(a**2), (v, a)
+
+    (l0, (v0, a0)), g0 = jax.value_and_grad(lambda p: loss(d, p), has_aux=True)(p)
+    (l1, (v1, a1)), g1 = jax.value_and_grad(lambda p: loss(dr, p), has_aux=True)(p)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-5)
