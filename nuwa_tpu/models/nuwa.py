@@ -271,10 +271,12 @@ class NUWA(Module):
             # GPipe over the 'pipe' mesh axis (parallel/pipeline.py);
             # reversible stacks run their own custom_vjp sequence and are
             # not pipelineable
-            assert not self.dec_reversible, (
-                "pipeline parallelism requires dec_reversible=False"
-            )
-            assert cp_mesh is None, "PP does not compose with CP"
+            if self.dec_reversible:
+                raise ValueError(
+                    "pipeline parallelism requires dec_reversible=False"
+                )
+            if cp_mesh is not None:
+                raise ValueError("PP does not compose with CP")
             from ..parallel.pipeline import pipelined_transformer
 
             out = pipelined_transformer(

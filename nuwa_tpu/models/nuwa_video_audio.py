@@ -301,10 +301,12 @@ class NUWAVideoAudio(Module):
             # (parallel/pipeline.pipelined_dual_decoder); the reversible
             # quad-stream runtime runs its own custom_vjp sequence and is
             # not pipelineable
-            assert not self.dec_reversible, (
-                "pipeline parallelism requires dec_reversible=False"
-            )
-            assert cp_mesh is None, "PP does not compose with CP"
+            if self.dec_reversible:
+                raise ValueError(
+                    "pipeline parallelism requires dec_reversible=False"
+                )
+            if cp_mesh is not None:
+                raise ValueError("PP does not compose with CP")
             from ..parallel.pipeline import pipelined_dual_decoder
 
             v, a = pipelined_dual_decoder(

@@ -21,6 +21,11 @@ Schedule: plain GPipe — M microbatches through S stages in M + S - 1 steps,
 bubble fraction (S-1)/(M+S-1). Bubble steps compute on garbage (standard
 SPMD pipelining); their results are never selected into the output buffer,
 so no gradient flows from them.
+
+Two entry points share the ``_gpipe`` scaffolding: ``pipelined_transformer``
+(single activation stream) and ``pipelined_dual_decoder`` (the video+audio
+pair rides the pipeline together, so the cross-modality exchange blocks
+always find both streams on the same stage device).
 """
 from __future__ import annotations
 
@@ -62,12 +67,126 @@ def validate_stages(transformer, n_stages: int) -> int:
     return _validate_menu(transformer.layer_menu, n_stages)
 
 
+def validate_dual_stages(decoder, n_stages: int) -> int:
+    """Stage-periodicity check for the dual decoder's quad-stream schedule
+    (self / cross / every-k xmod blocks): ``depth`` must be a multiple of
+    ``n_stages * lcm(cross_modality_attn_every, dilation cycles)`` so every
+    stage carries the same (kind, modules) slice."""
+    return _validate_menu(decoder.blocks(), n_stages)
+
+
 def stack_stage_params(layer_params, n_stages: int):
     """[depth-menu params] -> list of per-stage-slot params with a leading
     (n_stages,) axis on every leaf, ready to shard over the 'pipe' axis."""
     L = len(layer_params) // n_stages
     stages = [list(layer_params[s * L : (s + 1) * L]) for s in range(n_stages)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def _check_microbatching(mesh, axis, data_axis, b, M):
+    """Validate the batch/microbatch split; returns rows per microbatch."""
+    if b % M:
+        raise ValueError(f"batch {b} not divisible by {M} microbatches")
+    mb = b // M
+    if data_axis is not None and mb % mesh.shape[data_axis]:
+        raise ValueError(
+            f"microbatch rows {mb} not divisible by mesh axis "
+            f"{data_axis}={mesh.shape[data_axis]}"
+        )
+    return mb
+
+
+def _pick(a, i):
+    return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+
+def _gpipe(mesh, axis, data_axis, num_microbatches, stacked, streams, opts,
+           stage_fn):
+    """Shared GPipe scaffolding.
+
+    ``streams``: tuple of (M, mb, ...) microbatched activation arrays — the
+      pipeline carry (one for the plain transformer, the (video, audio) pair
+      for the dual decoder). Every stream shifts stage→stage together.
+    ``opts``: ordered (name, value, PartitionSpec) triples of extra inputs;
+      None values are dropped so optionals stay out of the traced signature.
+    ``stage_fn(sp, xs, opt, mb_i, s_idx) -> xs``: one stage's computation on
+      the stream tuple, given that stage's params ``sp``, the surviving opt
+      dict, the microbatch index being processed, and the stage index.
+
+    Returns the stream tuple, each (M, mb, ...), as emitted by stage S-1.
+    """
+    S = mesh.shape[axis]
+    M = num_microbatches
+    n = len(streams)
+    row_spec = P(None, data_axis) if data_axis is not None else P()
+    args = [stacked, *streams]
+    specs = [jax.tree.map(lambda _: P(axis), stacked)] + [row_spec] * n
+    opt_names = []
+    for name, val, spec in opts:
+        if val is not None:
+            args.append(val)
+            specs.append(spec)
+            opt_names.append(name)
+
+    def body(stacked_local, *rest):
+        xs_m = rest[:n]
+        opt = dict(zip(opt_names, rest[n:]))
+        sp = jax.tree.map(lambda a: a[0], stacked_local)
+        s_idx = jax.lax.axis_index(axis)
+        T = M + S - 1
+
+        def step(carry, i):
+            acts, outs = carry
+            # stage 0 ingests microbatch i; later stages take the activation
+            # shifted in from the previous stage
+            mb_in = jnp.clip(i, 0, M - 1)
+            xs = tuple(
+                jnp.where(s_idx == 0, _pick(xm, mb_in), act)
+                for xm, act in zip(xs_m, acts)
+            )
+            my_mb = jnp.clip(i - s_idx, 0, M - 1)
+            xs = stage_fn(sp, xs, opt, my_mb, s_idx)
+            perm = [(d, d + 1) for d in range(S - 1)]
+            acts_next = tuple(jax.lax.ppermute(x, axis, perm) for x in xs)
+            out_i = jnp.clip(i - (S - 1), 0, M - 1)
+            emit = jnp.logical_and(s_idx == S - 1, i >= S - 1)
+            outs = tuple(
+                jnp.where(
+                    emit,
+                    jax.lax.dynamic_update_index_in_dim(ob, x, out_i, 0),
+                    ob,
+                )
+                for ob, x in zip(outs, xs)
+            )
+            return (acts_next, outs), None
+
+        # the carries become device-varying through the stage compute; mark
+        # the (replicated-zero) initial values so scan's carry types match:
+        # fresh zeros are invarying everywhere -> cast over all mapped axes;
+        # zeros_like(xm) inherits xm's data-varying type -> cast 'pipe' only
+        vaxes = (axis,) + ((data_axis,) if data_axis is not None else ())
+        acts0 = tuple(
+            jax.lax.pcast(jnp.zeros(xm.shape[1:], xm.dtype), vaxes, to="varying")
+            for xm in xs_m
+        )
+        outs0 = tuple(
+            jax.lax.pcast(jnp.zeros_like(xm), (axis,), to="varying")
+            for xm in xs_m
+        )
+        (_, outs), _ = jax.lax.scan(
+            step, (acts0, outs0), jnp.arange(T), length=T
+        )
+        # only the last stage holds real outputs; psum broadcasts them
+        return tuple(
+            jax.lax.psum(
+                jnp.where(s_idx == S - 1, ob, jnp.zeros_like(ob)), axis
+            )
+            for ob in outs
+        )
+
+    return shard_map(
+        body, mesh=mesh, in_specs=tuple(specs), out_specs=(row_spec,) * n,
+    )(*args)
 
 
 def pipelined_transformer(
@@ -99,18 +218,10 @@ def pipelined_transformer(
     """
     S = mesh.shape[axis]
     L = validate_stages(transformer, S)
-    menu = transformer.layer_menu
-    stage_menu = menu[:L]
+    stage_menu = transformer.layer_menu[:L]
     b = x.shape[0]
     M = num_microbatches
-    if b % M:
-        raise ValueError(f"batch {b} not divisible by {M} microbatches")
-    mb = b // M
-    if data_axis is not None and mb % mesh.shape[data_axis]:
-        raise ValueError(
-            f"microbatch rows {mb} not divisible by mesh axis "
-            f"{data_axis}={mesh.shape[data_axis]}"
-        )
+    mb = _check_microbatching(mesh, axis, data_axis, b, M)
     if S == 1:  # degenerate: no pipeline, keep the plain path
         return transformer(
             p, x, mask=mask, context=context, context_mask=context_mask,
@@ -123,125 +234,54 @@ def pipelined_transformer(
         return None if a is None else a.reshape(M, mb, *a.shape[1:])
 
     xm = mb_split(x)
-    ctx_m = mb_split(context)
-    mask_m = mb_split(mask)
-    cmask_m = mb_split(context_mask)
-
     # (M, mb, ...) microbatched tensors shard their row dim under PP×DP
     row_spec = P(None, data_axis) if data_axis is not None else P()
+    opts = [
+        ("context", mb_split(context), row_spec),
+        ("mask", mb_split(mask), row_spec),
+        ("context_mask", mb_split(context_mask), row_spec),
+        ("rotary_pos_emb", rotary_pos_emb, P()),
+        ("key", key, P()),
+    ]
 
-    # assemble (args, specs) dynamically so optional inputs stay out of the
-    # traced signature
-    args = [stacked, xm]
-    specs = [jax.tree.map(lambda _: P(axis), stacked), row_spec]
-    opt_names = []
-    for name, val in (
-        ("context", ctx_m),
-        ("mask", mask_m),
-        ("context_mask", cmask_m),
-        ("rotary_pos_emb", rotary_pos_emb),
-        ("key", key),
-    ):
-        if val is not None:
-            args.append(val)
-            specs.append(
-                P() if name in ("rotary_pos_emb", "key") else row_spec
-            )
-            opt_names.append(name)
+    def stage_fn(sp, xs, opt, mb_i, s_idx):
+        (h,) = xs
+        for j, (kind, module) in enumerate(stage_menu):
+            if kind == "self":
+                kw = dict(
+                    mask=None if "mask" not in opt else _pick(opt["mask"], mb_i),
+                    rotary_pos_emb=opt.get("rotary_pos_emb"),
+                )
+            elif kind == "cross":
+                kw = dict(
+                    context=_pick(opt["context"], mb_i),
+                    context_mask=(
+                        None
+                        if "context_mask" not in opt
+                        else _pick(opt["context_mask"], mb_i)
+                    ),
+                    mask=None if "mask" not in opt else _pick(opt["mask"], mb_i),
+                )
+            else:
+                kw = {}
+            lk = None
+            if "key" in opt:
+                lk = jax.random.fold_in(
+                    jax.random.fold_in(opt["key"], s_idx * L + j), mb_i
+                )
+                if data_axis is not None:
+                    # distinct masks per data shard (each shard draws
+                    # over its local rows only)
+                    lk = jax.random.fold_in(lk, jax.lax.axis_index(data_axis))
+            blk = lambda lp, h, lk, _m=module, _kw=kw: _m(lp, h, key=lk, **_kw)
+            if transformer.remat:
+                blk = jax.checkpoint(blk)
+            h = blk(sp[j], h, lk) + h
+        return (h,)
 
-    def body(stacked_local, xm, *opts):
-        opt = dict(zip(opt_names, opts))
-        sp = jax.tree.map(lambda a: a[0], stacked_local)
-        s_idx = jax.lax.axis_index(axis)
-        T = M + S - 1
-
-        def pick(a, i):
-            return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-
-        def stage_fn(h, mb_i):
-            for j, (kind, module) in enumerate(stage_menu):
-                if kind == "self":
-                    kw = dict(
-                        mask=None if "mask" not in opt else pick(opt["mask"], mb_i),
-                        rotary_pos_emb=opt.get("rotary_pos_emb"),
-                    )
-                elif kind == "cross":
-                    kw = dict(
-                        context=pick(opt["context"], mb_i),
-                        context_mask=(
-                            None
-                            if "context_mask" not in opt
-                            else pick(opt["context_mask"], mb_i)
-                        ),
-                        mask=None if "mask" not in opt else pick(opt["mask"], mb_i),
-                    )
-                else:
-                    kw = {}
-                lk = None
-                if "key" in opt:
-                    lk = jax.random.fold_in(
-                        jax.random.fold_in(opt["key"], s_idx * L + j), mb_i
-                    )
-                    if data_axis is not None:
-                        # distinct masks per data shard (each shard draws
-                        # over its local rows only)
-                        lk = jax.random.fold_in(
-                            lk, jax.lax.axis_index(data_axis)
-                        )
-                blk = lambda lp, h, lk, _m=module, _kw=kw: _m(lp, h, key=lk, **_kw)
-                if transformer.remat:
-                    blk = jax.checkpoint(blk)
-                h = blk(sp[j], h, lk) + h
-            return h
-
-        def step(carry, i):
-            act, outbuf = carry
-            # stage 0 ingests microbatch i; later stages take the activation
-            # shifted in from the previous stage
-            h = jnp.where(s_idx == 0, pick(xm, jnp.clip(i, 0, M - 1)), act)
-            my_mb = jnp.clip(i - s_idx, 0, M - 1)
-            h = stage_fn(h, my_mb)
-            act_next = jax.lax.ppermute(
-                h, axis, [(d, d + 1) for d in range(S - 1)]
-            )
-            out_i = jnp.clip(i - (S - 1), 0, M - 1)
-            emit = jnp.logical_and(s_idx == S - 1, i >= S - 1)
-            outbuf = jnp.where(
-                emit,
-                jax.lax.dynamic_update_index_in_dim(outbuf, h, out_i, 0),
-                outbuf,
-            )
-            return (act_next, outbuf), None
-
-        # the carries become device-varying through the stage compute; mark
-        # the (replicated-zero) initial values so scan's carry types match
-        vaxes = (axis,) + ((data_axis,) if data_axis is not None else ())
-        # fresh zeros are invarying everywhere -> cast over all mapped axes;
-        # zeros_like(xm) inherits xm's data-varying type -> cast 'pipe' only
-        act0 = jax.lax.pcast(
-            jnp.zeros(xm.shape[1:], xm.dtype), vaxes, to="varying"
-        )
-        out0 = jax.lax.pcast(jnp.zeros_like(xm), (axis,), to="varying")
-        (_, outbuf), _ = jax.lax.scan(
-            step, (act0, out0), jnp.arange(T), length=T
-        )
-        # only the last stage holds real outputs; psum broadcasts them
-        outbuf = jnp.where(s_idx == S - 1, outbuf, jnp.zeros_like(outbuf))
-        return jax.lax.psum(outbuf, axis)
-
-    out = shard_map(
-        body, mesh=mesh, in_specs=tuple(specs), out_specs=row_spec,
-    )(*args)
+    (out,) = _gpipe(mesh, axis, data_axis, M, stacked, (xm,), opts, stage_fn)
     out = out.reshape(b, *x.shape[1:])
     return StableLayerNorm(transformer.dim)(p["norm"], out)
-
-
-def validate_dual_stages(decoder, n_stages: int) -> int:
-    """Stage-periodicity check for the dual decoder's quad-stream schedule
-    (self / cross / every-k xmod blocks): ``depth`` must be a multiple of
-    ``n_stages * lcm(cross_modality_attn_every, dilation cycles)`` so every
-    stage carries the same (kind, modules) slice."""
-    return _validate_menu(decoder.blocks(), n_stages)
 
 
 def pipelined_dual_decoder(
@@ -275,146 +315,68 @@ def pipelined_dual_decoder(
     per-block keys are folded with (global block index, microbatch index),
     same caveat as ``pipelined_transformer``.
     """
+    from ..dual_decoder import apply_dual_block
+
     S = mesh.shape[axis]
-    L = validate_dual_stages(decoder, S)
     blocks = decoder.blocks()
+    L = _validate_menu(blocks, S)
     stage_menu = blocks[:L]
     b = video.shape[0]
     M = num_microbatches
-    if b % M:
-        raise ValueError(f"batch {b} not divisible by {M} microbatches")
-    mb = b // M
-    if data_axis is not None and mb % mesh.shape[data_axis]:
-        raise ValueError(
-            f"microbatch rows {mb} not divisible by mesh axis "
-            f"{data_axis}={mesh.shape[data_axis]}"
-        )
-    norm = StableLayerNorm(decoder.dim)
+    mb = _check_microbatching(mesh, axis, data_axis, b, M)
     if S == 1:
-        v, a = decoder(
+        return decoder(
             p, video, audio, context=context, context_mask=context_mask,
             video_mask=video_mask, audio_mask=audio_mask, key=key,
         )
-        return v, a
 
     stacked = stack_stage_params(p["layers"], S)
 
-    def mb_split(x):
-        return None if x is None else x.reshape(M, mb, *x.shape[1:])
+    def mb_split(a):
+        return None if a is None else a.reshape(M, mb, *a.shape[1:])
 
     vm, am = mb_split(video), mb_split(audio)
-    ctx_m = mb_split(context)
-    cmask_m = mb_split(context_mask)
-    vmask_m = mb_split(video_mask)
-    amask_m = mb_split(audio_mask)
-
     row_spec = P(None, data_axis) if data_axis is not None else P()
+    opts = [
+        ("context", mb_split(context), row_spec),
+        ("context_mask", mb_split(context_mask), row_spec),
+        ("video_mask", mb_split(video_mask), row_spec),
+        ("audio_mask", mb_split(audio_mask), row_spec),
+        ("key", key, P()),
+    ]
 
-    args = [stacked, vm, am]
-    specs = [jax.tree.map(lambda _: P(axis), stacked), row_spec, row_spec]
-    opt_names = []
-    for name, val in (
-        ("context", ctx_m),
-        ("context_mask", cmask_m),
-        ("video_mask", vmask_m),
-        ("audio_mask", amask_m),
-        ("key", key),
-    ):
-        if val is not None:
-            args.append(val)
-            specs.append(P() if name == "key" else row_spec)
-            opt_names.append(name)
-
-    def body(stacked_local, vm, am, *opts):
-        opt = dict(zip(opt_names, opts))
-        sp = jax.tree.map(lambda a: a[0], stacked_local)
-        s_idx = jax.lax.axis_index(axis)
-        T = M + S - 1
-
-        def pick(a, i):
-            return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-
-        def stage_fn(v, a, mb_i):
-            ctx = None if "context" not in opt else pick(opt["context"], mb_i)
-            cmask = (
-                None if "context_mask" not in opt
-                else pick(opt["context_mask"], mb_i)
-            )
-            vmask = (
-                None if "video_mask" not in opt
-                else pick(opt["video_mask"], mb_i)
-            )
-            amask = (
-                None if "audio_mask" not in opt
-                else pick(opt["audio_mask"], mb_i)
-            )
-            from ..dual_decoder import apply_dual_block
-
-            for j, (btype, mods, _) in enumerate(stage_menu):
-                keys = (None, None, None, None)
-                if "key" in opt:
-                    lk = jax.random.fold_in(opt["key"], s_idx * L + j)
-                    lk = jax.random.fold_in(lk, mb_i)
-                    if data_axis is not None:
-                        lk = jax.random.fold_in(
-                            lk, jax.lax.axis_index(data_axis)
-                        )
-                    keys = tuple(jax.random.split(lk, 4))
-                blk = lambda lp, v, a, keys, _bt=btype, _mods=mods: (
-                    apply_dual_block(
-                        _bt, _mods, lp, v, a, context=ctx,
-                        context_mask=cmask, video_mask=vmask,
-                        audio_mask=amask, keys=keys,
-                    )
+    def stage_fn(sp, xs, opt, mb_i, s_idx):
+        v, a = xs
+        local = {
+            name: None if name not in opt else _pick(opt[name], mb_i)
+            for name in ("context", "context_mask", "video_mask", "audio_mask")
+        }
+        for j, (btype, mods, _) in enumerate(stage_menu):
+            keys = (None, None, None, None)
+            if "key" in opt:
+                lk = jax.random.fold_in(opt["key"], s_idx * L + j)
+                lk = jax.random.fold_in(lk, mb_i)
+                if data_axis is not None:
+                    lk = jax.random.fold_in(lk, jax.lax.axis_index(data_axis))
+                keys = tuple(jax.random.split(lk, 4))
+            blk = lambda lp, v, a, keys, _bt=btype, _mods=mods: (
+                apply_dual_block(
+                    _bt, _mods, lp, v, a, keys=keys,
+                    context=local["context"],
+                    context_mask=local["context_mask"],
+                    video_mask=local["video_mask"],
+                    audio_mask=local["audio_mask"],
                 )
-                if decoder.remat:
-                    blk = jax.checkpoint(blk)
-                v, a = blk(sp[j], v, a, keys)
-            return v, a
-
-        def step(carry, i):
-            (v_act, a_act), (v_out, a_out) = carry
-            v = jnp.where(s_idx == 0, pick(vm, jnp.clip(i, 0, M - 1)), v_act)
-            a = jnp.where(s_idx == 0, pick(am, jnp.clip(i, 0, M - 1)), a_act)
-            my_mb = jnp.clip(i - s_idx, 0, M - 1)
-            v, a = stage_fn(v, a, my_mb)
-            perm = [(d, d + 1) for d in range(S - 1)]
-            v_next = jax.lax.ppermute(v, axis, perm)
-            a_next = jax.lax.ppermute(a, axis, perm)
-            out_i = jnp.clip(i - (S - 1), 0, M - 1)
-            emit = jnp.logical_and(s_idx == S - 1, i >= S - 1)
-            v_out = jnp.where(
-                emit,
-                jax.lax.dynamic_update_index_in_dim(v_out, v, out_i, 0),
-                v_out,
             )
-            a_out = jnp.where(
-                emit,
-                jax.lax.dynamic_update_index_in_dim(a_out, a, out_i, 0),
-                a_out,
-            )
-            return ((v_next, a_next), (v_out, a_out)), None
+            if decoder.remat:
+                blk = jax.checkpoint(blk)
+            v, a = blk(sp[j], v, a, keys)
+        return (v, a)
 
-        vaxes = (axis,) + ((data_axis,) if data_axis is not None else ())
-        act0 = (
-            jax.lax.pcast(jnp.zeros(vm.shape[1:], vm.dtype), vaxes, to="varying"),
-            jax.lax.pcast(jnp.zeros(am.shape[1:], am.dtype), vaxes, to="varying"),
-        )
-        out0 = (
-            jax.lax.pcast(jnp.zeros_like(vm), (axis,), to="varying"),
-            jax.lax.pcast(jnp.zeros_like(am), (axis,), to="varying"),
-        )
-        (_, (v_out, a_out)), _ = jax.lax.scan(
-            step, (act0, out0), jnp.arange(T), length=T
-        )
-        v_out = jnp.where(s_idx == S - 1, v_out, jnp.zeros_like(v_out))
-        a_out = jnp.where(s_idx == S - 1, a_out, jnp.zeros_like(a_out))
-        return jax.lax.psum(v_out, axis), jax.lax.psum(a_out, axis)
-
-    v_out, a_out = shard_map(
-        body, mesh=mesh, in_specs=tuple(specs),
-        out_specs=(row_spec, row_spec),
-    )(*args)
+    v_out, a_out = _gpipe(
+        mesh, axis, data_axis, M, stacked, (vm, am), opts, stage_fn
+    )
     v_out = v_out.reshape(b, *video.shape[1:])
     a_out = a_out.reshape(b, *audio.shape[1:])
+    norm = StableLayerNorm(decoder.dim)
     return norm(p["video_norm"], v_out), norm(p["audio_norm"], a_out)

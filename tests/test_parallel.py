@@ -861,7 +861,7 @@ def test_nuwa_forward_pipeline_parallel():
     )
 
     rev = model.replace(dec_reversible=True)
-    with pytest.raises(AssertionError, match="dec_reversible=False"):
+    with pytest.raises(ValueError, match="dec_reversible=False"):
         rev.forward(
             rev.init(KEY), text=text, video=video, return_loss=True,
             pp_mesh=mesh, pp_microbatches=2,
@@ -984,7 +984,8 @@ def test_pipeline_dual_decoder_forward_and_grad_parity():
         g_ref, g,
     )
 
-    # remat inside the pipeline: same values + grads, less live memory
+    # remat inside the pipeline: same values, same grads (params AND the
+    # cross-attention context — it is a checkpoint-closed-over tracer)
     dr = d.replace(remat=True)
     vr, ar = pipelined_dual_decoder(
         dr, p, video, audio, mesh, num_microbatches=2,
@@ -992,19 +993,22 @@ def test_pipeline_dual_decoder_forward_and_grad_parity():
     )
     np.testing.assert_allclose(np.asarray(vr), np.asarray(v), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ar), np.asarray(a), atol=1e-6)
-    gr = jax.grad(
-        lambda p: (lambda va: jnp.mean(va[0] * wv) + jnp.mean(va[1] * wa))(
-            pipelined_dual_decoder(
-                dr, p, video, audio, mesh, num_microbatches=2,
-                context=ctx, context_mask=cmask,
-            )
+
+    def loss_ctx(mod, p, c):
+        v, a = pipelined_dual_decoder(
+            mod, p, video, audio, mesh, num_microbatches=2,
+            context=c, context_mask=cmask,
         )
-    )(p)
+        return jnp.mean(v * wv) + jnp.mean(a * wa)
+
+    g_c_ref = jax.grad(lambda p, c: loss_ctx(d, p, c), argnums=(0, 1))(p, ctx)
+    g_c_r = jax.grad(lambda p, c: loss_ctx(dr, p, c), argnums=(0, 1))(p, ctx)
+    assert float(jnp.max(jnp.abs(g_c_ref[1]))) > 1e-8, "context grads vanished"
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         ),
-        g, gr,
+        g_c_ref, g_c_r,
     )
 
 
@@ -1079,8 +1083,24 @@ def test_nuwa_video_audio_forward_pipeline_parallel():
         g_ref, g_pp,
     )
 
+    # dec_remat threads through to the pipelined decoder: same loss + grads
+    mr = model.replace(dec_remat=True)
+    loss_r, g_r = jax.value_and_grad(
+        lambda p: mr.forward(
+            p, text=text, video=video, audio=audio, return_loss=True,
+            pp_mesh=mesh, pp_microbatches=2,
+        )
+    )(p)
+    np.testing.assert_allclose(float(loss_r), float(loss_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        ),
+        g_ref, g_r,
+    )
+
     rev = model.replace(dec_reversible=True)
-    with pytest.raises(AssertionError, match="dec_reversible=False"):
+    with pytest.raises(ValueError, match="dec_reversible=False"):
         rev.forward(
             rev.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k)),
             text=text, video=video, audio=audio, return_loss=True,

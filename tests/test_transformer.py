@@ -228,13 +228,21 @@ def test_dual_decoder_remat_parity():
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
     k = jax.random.PRNGKey(7)
 
-    def loss(mod, p):
+    def loss(mod, p, ctx):
         v, a = mod(p, video, audio, context=ctx, key=k)
         return jnp.sum(v**2) + jnp.sum(a**2), (v, a)
 
-    (l0, (v0, a0)), g0 = jax.value_and_grad(lambda p: loss(d, p), has_aux=True)(p)
-    (l1, (v1, a1)), g1 = jax.value_and_grad(lambda p: loss(dr, p), has_aux=True)(p)
+    # grads w.r.t. params AND the cross-attention context: the context is a
+    # closed-over tracer inside the jax.checkpoint wrapper, and in real
+    # training the text-encoder grads flow through it
+    (l0, (v0, a0)), g0 = jax.value_and_grad(
+        lambda p, c: loss(d, p, c), argnums=(0, 1), has_aux=True
+    )(p, ctx)
+    (l1, (v1, a1)), g1 = jax.value_and_grad(
+        lambda p, c: loss(dr, p, c), argnums=(0, 1), has_aux=True
+    )(p, ctx)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    assert float(jnp.max(jnp.abs(g0[1]))) > 1e-6, "context grads vanished"
     for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-5)
