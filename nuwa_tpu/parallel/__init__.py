@@ -6,6 +6,7 @@ from .sharding import (
     shard_params,
     sharded_train_step,
 )
+from .zero import shard_opt_state, zero_opt_shardings, zero_opt_specs
 
 __all__ = [
     "make_mesh",
@@ -18,4 +19,7 @@ __all__ = [
     "pipelined_transformer",
     "stack_stage_params",
     "validate_stages",
+    "shard_opt_state",
+    "zero_opt_shardings",
+    "zero_opt_specs",
 ]

@@ -83,6 +83,40 @@ def stack_stage_params(layer_params, n_stages: int):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
 
 
+def unstack_stage_params(stacked):
+    """Inverse of ``stack_stage_params``: stacked (S, ...) leaves back to the
+    flat per-layer list (stage 0's slots first)."""
+    S = jax.tree.leaves(stacked)[0].shape[0]
+    layers = []
+    for s in range(S):
+        layers.extend(jax.tree.map(lambda a: a[s], stacked))
+    return layers
+
+
+def _resolve_stacked(layers, S: int, n_slots: int):
+    """Accept layer params either as the flat per-layer list (length
+    ``n_slots``, stacked here per-step) or already in the stacked layout
+    (``n_slots // S`` slot-trees with leading (S,) leaves). Storing the
+    train state pre-stacked and sharded over 'pipe' is what buys PP its
+    memory win: params AND optimizer moments hold only 1/S of the stack per
+    device (the AdamW update runs shard-local on the stage slice)."""
+    L = n_slots // S
+    if S > 1 and len(layers) == L:
+        lead = {leaf.shape[0] for leaf in jax.tree.leaves(layers)}
+        if lead != {S}:
+            raise ValueError(
+                f"pre-stacked stage params have leading dims {sorted(lead)}; "
+                f"expected {S} (= mesh 'pipe' size)"
+            )
+        return layers
+    if len(layers) != n_slots:
+        raise ValueError(
+            f"{len(layers)} layer param entries: expected {n_slots} (flat) "
+            f"or {L} (pre-stacked over {S} stages)"
+        )
+    return stack_stage_params(layers, S)
+
+
 def _check_microbatching(mesh, axis, data_axis, b, M):
     """Validate the batch/microbatch split; returns rows per microbatch."""
     if b % M:
@@ -184,8 +218,16 @@ def _gpipe(mesh, axis, data_axis, num_microbatches, stacked, streams, opts,
             for ob in outs
         )
 
+    # Only the pipeline (and PP×DP data) axes are manual; any further mesh
+    # axes — e.g. 'model' for PP×TP — stay under GSPMD control inside the
+    # body, so tensor-parallel param shardings keep partitioning the stage
+    # compute (talking-heads mixing and all) with XLA-inserted collectives.
+    manual = frozenset(
+        {axis} | ({data_axis} if data_axis is not None else set())
+    )
     return shard_map(
         body, mesh=mesh, in_specs=tuple(specs), out_specs=(row_spec,) * n,
+        axis_names=manual,
     )(*args)
 
 
@@ -228,7 +270,7 @@ def pipelined_transformer(
             rotary_pos_emb=rotary_pos_emb, key=key,
         )
 
-    stacked = stack_stage_params(p["layers"], S)
+    stacked = _resolve_stacked(p["layers"], S, L * S)
 
     def mb_split(a):
         return None if a is None else a.reshape(M, mb, *a.shape[1:])
@@ -330,7 +372,7 @@ def pipelined_dual_decoder(
             video_mask=video_mask, audio_mask=audio_mask, key=key,
         )
 
-    stacked = stack_stage_params(p["layers"], S)
+    stacked = _resolve_stacked(p["layers"], S, L * S)
 
     def mb_split(a):
         return None if a is None else a.reshape(M, mb, *a.shape[1:])

@@ -32,9 +32,14 @@ def trainable_mask(params, frozen_keys=("vae", "sketch_vae")):
 
 
 def get_optimizer(lr=3e-4, wd=1e-1, *, params=None, max_grad_norm=None,
-                  frozen_keys=("vae", "sketch_vae")):
+                  frozen_keys=("vae", "sketch_vae"), wd_mask=None):
     """Build the optax transform. ``params`` (a template pytree) is required
-    when weight decay masking or frozen-subtree masking applies."""
+    when weight decay masking or frozen-subtree masking applies.
+
+    ``wd_mask``: optional explicit weight-decay mask pytree overriding the
+    ndim-based default — needed when the param layout hides the true rank
+    (pipeline-stacked stage params carry a leading (S,) axis, so a stacked
+    bias is 2-D but must still skip decay)."""
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
@@ -42,8 +47,10 @@ def get_optimizer(lr=3e-4, wd=1e-1, *, params=None, max_grad_norm=None,
     if wd == 0:
         chain.append(optax.adam(lr))
     else:
-        assert params is not None, "params template needed for wd masking"
-        chain.append(optax.adamw(lr, weight_decay=wd, mask=weight_decay_mask(params)))
+        if wd_mask is None:
+            assert params is not None, "params template needed for wd masking"
+            wd_mask = weight_decay_mask(params)
+        chain.append(optax.adamw(lr, weight_decay=wd, mask=wd_mask))
 
     tx = optax.chain(*chain)
 

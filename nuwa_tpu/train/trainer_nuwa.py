@@ -53,6 +53,7 @@ class NUWATrainer:
         context_parallel=False,
         pipeline_parallel=False,
         pipeline_microbatches=1,
+        zero1=False,
     ):
         self.nuwa = nuwa
         self.num_train_steps = num_train_steps
@@ -95,19 +96,51 @@ class NUWATrainer:
                 f"batch_size {batch_size} not divisible by data axis {dp}"
             )
 
-        self.tx = get_optimizer(
-            lr=lr, wd=wd, params=params, max_grad_norm=max_grad_norm
-        )
         # copy caller-provided params: the jitted step donates the train
         # state, which would otherwise delete the caller's arrays
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        wd_mask = None
         if mesh is not None:
             from ..parallel import replicated, shard_params
 
-            if pipeline_parallel:
-                # the pipeline stacks + shards stage params over 'pipe'
-                # inside its shard_map; the train state stays replicated
-                # (the TP param rules name a 'model' axis this mesh lacks)
+            if pipeline_parallel and mesh.shape["pipe"] > 1:
+                # store the decoder stack PRE-STACKED and sharded over
+                # 'pipe': params AND AdamW moments hold only 1/S of the
+                # stack per device — the pipeline's memory payoff (see
+                # parallel/pipeline._resolve_stacked). Stacking hides leaf
+                # rank (a bias becomes (S, d)), so the wd mask is computed
+                # on the flat layout; stages are statically identical, so
+                # stage 0's mask slice covers every stacked slot.
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.pipeline import (
+                    stack_stage_params,
+                    validate_stages,
+                )
+                from .optimizer import weight_decay_mask
+
+                S = mesh.shape["pipe"]
+                L = validate_stages(nuwa.video_transformer, S)
+                wd_mask = weight_decay_mask(params)
+                wd_mask["video_transformer"] = dict(
+                    wd_mask["video_transformer"],
+                    layers=wd_mask["video_transformer"]["layers"][:L],
+                )
+                params = jax.device_put(params, replicated(mesh))
+                params = dict(
+                    params,
+                    video_transformer=dict(
+                        params["video_transformer"],
+                        layers=jax.tree.map(
+                            lambda leaf: jax.device_put(
+                                leaf, NamedSharding(mesh, PartitionSpec("pipe"))
+                            ),
+                            stack_stage_params(
+                                params["video_transformer"]["layers"], S
+                            ),
+                        ),
+                    ),
+                )
+            elif pipeline_parallel:
                 params = jax.device_put(params, replicated(mesh))
             else:
                 params = shard_params(params, mesh)
@@ -116,6 +149,10 @@ class NUWATrainer:
         else:
             key0 = jax.random.PRNGKey(seed)
             step0 = jnp.asarray(0, jnp.int32)
+        self.tx = get_optimizer(
+            lr=lr, wd=wd, params=params, max_grad_norm=max_grad_norm,
+            wd_mask=wd_mask,
+        )
         self.state = {
             "params": params,
             "opt": self.tx.init(params),  # zeros_like inherits param shardings
@@ -123,20 +160,33 @@ class NUWATrainer:
             "key": key0,
         }
 
+        # ZeRO-1: shard the AdamW m/v pytrees over 'data' (parallel/zero.py).
+        # The update runs shard-local; params stay in their DP/TP layout.
+        self._opt_shardings = None
+        if zero1:
+            assert mesh is not None and mesh.shape.get("data", 1) > 1, (
+                "zero1 requires a mesh with a 'data' axis > 1"
+            )
+            from ..parallel.zero import shard_opt_state
+
+            self.state["opt"], self._opt_shardings = shard_opt_state(
+                self.state["opt"], mesh
+            )
+
         if resume:
-            restored = restore_latest(self.results_folder, "nuwa_trainstate", self.state)
+            # mesh-aware restore: every leaf device_puts straight to the
+            # sharding the live (already-placed) state carries — DP/TP/ZeRO
+            # layouts come back without a full replicated host copy
+            shardings = (
+                jax.tree.map(lambda x: x.sharding, self.state)
+                if mesh is not None
+                else None
+            )
+            restored = restore_latest(
+                self.results_folder, "nuwa_trainstate", self.state, shardings
+            )
             if restored is not None:
                 step, self.state = restored
-                if mesh is not None:
-                    from ..parallel import replicated, shard_params
-
-                    # re-commit param shardings; restored opt-state leaves
-                    # stay uncommitted and jit places them to match usage
-                    self.state["params"] = (
-                        jax.device_put(self.state["params"], replicated(mesh))
-                        if pipeline_parallel
-                        else shard_params(self.state["params"], mesh)
-                    )
                 print(f"resumed from checkpoint at step {step}")
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
@@ -144,6 +194,7 @@ class NUWATrainer:
     def _make_train_step(self):
         nuwa, tx, accum = self.nuwa, self.tx, self.grad_accum_every
         cdp = self.cond_dropout_prob
+        opt_shardings = self._opt_shardings
         cp_mesh = self.mesh if self.context_parallel else None
         pp_mesh = self.mesh if self.pipeline_parallel else None
         pp_mb = self.pipeline_microbatches
@@ -178,6 +229,9 @@ class NUWATrainer:
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             updates, opt = tx.update(grads, state["opt"], state["params"])
+            if opt_shardings is not None:
+                # pin the ZeRO-1 layout so the moments never re-replicate
+                opt = jax.lax.with_sharding_constraint(opt, opt_shardings)
             params = optax.apply_updates(state["params"], updates)
             return {
                 "params": params,
@@ -238,8 +292,23 @@ class NUWATrainer:
         text = jnp.asarray(texts[0][:1])
         num_frames = int(min(self.nuwa.max_video_frames, self.num_sampled_frames))
         self.state["key"], skey = jax.random.split(self.state["key"])
+        params = self.state["params"]
+        if self.pipeline_parallel and self.mesh.shape["pipe"] > 1:
+            # sampling runs the plain decoder: flatten the pipe-stacked stage
+            # params back to the per-layer list
+            from ..parallel.pipeline import unstack_stage_params
+
+            params = dict(
+                params,
+                video_transformer=dict(
+                    params["video_transformer"],
+                    layers=unstack_stage_params(
+                        params["video_transformer"]["layers"]
+                    ),
+                ),
+            )
         video = self.nuwa.generate(
-            self.state["params"], text=text, key=skey, num_frames=num_frames
+            params, text=text, key=skey, num_frames=num_frames
         )
         if video.ndim == 2:  # no VAE attached: raw codebook indices
             logs["sampled_indices"] = np.asarray(video[0])

@@ -901,6 +901,22 @@ def test_nuwa_trainer_pipeline_parallel(tmp_path):
 
     np.testing.assert_allclose(losses_pp, losses_plain, rtol=2e-4)
 
+    # the decoder stack (params AND AdamW moments) is stored pre-stacked and
+    # sharded over 'pipe' — 1/S of the stack per device — and the layout
+    # survived the donating train steps
+    S = mesh.shape["pipe"]
+    stacked = t_pp.state["params"]["video_transformer"]["layers"]
+    assert not isinstance(jax.tree.leaves(stacked)[0], (list, tuple))
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.shape[0] == S
+        assert "pipe" in str(leaf.sharding.spec), leaf.sharding
+        assert leaf.addressable_shards[0].data.nbytes * S == leaf.nbytes
+    opt_leaves = [
+        l for l in jax.tree.leaves(t_pp.state["opt"])
+        if jnp.ndim(l) >= 1 and "pipe" in str(l.sharding.spec)
+    ]
+    assert opt_leaves, "optimizer moments lost the pipe sharding"
+
 
 def test_sketch_model_forward_pipeline_parallel():
     """NUWASketch.forward(pp_mesh=...): the SparseCross2DNA decoder pipelines
@@ -1133,3 +1149,199 @@ def test_pipeline_dual_decoder_x_data_parallel():
     )
     np.testing.assert_allclose(np.asarray(v), np.asarray(vref), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(a), np.asarray(aref), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1 optimizer-state sharding (parallel/zero.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zero1_opt_specs_respect_tp_and_pick_data_axis():
+    """Param-shaped optimizer leaves get their TP spec plus 'data' on the
+    largest free divisible axis; scalars stay replicated."""
+    from nuwa_tpu.parallel import zero_opt_specs
+
+    mesh = make_mesh(data=4, model=2)
+    params = {
+        "to_q": {"w": jnp.ones((8, 16))},
+        "to_out": {"w": jnp.ones((16, 8)), "b": jnp.ones((8,))},
+        "odd": {"w": jnp.ones((3, 5))},  # nothing divides: replicated
+    }
+    tx = get_optimizer(lr=1e-3, wd=0.01, params=params)
+    specs = zero_opt_specs(tx.init(params), mesh)
+    flat, _ = jax.tree_util.tree_flatten_with_path(specs)
+    by_path = {
+        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path): s
+        for path, s in flat
+    }
+    for path, spec in by_path.items():
+        if path.endswith(".count"):
+            assert spec == P(), path
+        elif "to_q/w" in path:
+            # TP column-parallel keeps 'model' on axis 1; axis 0 (8 % 4 == 0)
+            # takes the ZeRO shards
+            assert spec == P("data", "model"), (path, spec)
+        elif "to_out/w" in path:
+            # TP row-parallel holds axis 0; the free axis 1 is 8 % 4 == 0
+            assert spec == P("model", "data"), (path, spec)
+        elif "to_out/b" in path:
+            assert spec == P("data"), (path, spec)
+        elif "odd/w" in path:
+            assert spec == P(None, None), (path, spec)
+
+
+def test_zero1_trainer_matches_unmeshed(tmp_path):
+    """zero1=True must not change the math: losses and final params track
+    the single-device trainer, while the AdamW moments actually live
+    sharded over 'data' (per-device optimizer bytes ~ 1/4)."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = tiny_model()
+    params = model.init(KEY)
+    mesh = make_mesh(data=4, model=2)
+
+    def mk(folder, mesh_arg, **kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=2 * 4, vocab=16),
+            num_train_steps=3, batch_size=4, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=11, resume=False, mesh=mesh_arg, **kw,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_single = mk(tmp_path / "single", None)
+    losses_single = []
+    t_single.train(log_fn=lambda logs: losses_single.append(logs["loss"]))
+
+    t_zero = mk(tmp_path / "zero", mesh, zero1=True)
+    losses_zero = []
+    t_zero.train(log_fn=lambda logs: losses_zero.append(logs["loss"]))
+
+    np.testing.assert_allclose(losses_zero, losses_single, rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(t_single.state["params"]),
+        jax.tree.leaves(t_zero.state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-4)
+
+    # post-training state still carries the ZeRO layout (the jit constraint
+    # held) and per-device bytes dropped by the data-axis factor
+    sharded_bytes = replicated_bytes = 0
+    for leaf in jax.tree.leaves(t_zero.state["opt"]):
+        if jnp.ndim(leaf) >= 1:
+            per_dev = leaf.addressable_shards[0].data.nbytes
+            spec = leaf.sharding.spec
+            if "data" in str(spec):
+                shards = int(np.prod([
+                    mesh.shape[ax] for ax in spec if ax is not None
+                ]))
+                assert per_dev * shards == leaf.nbytes, leaf.sharding
+                sharded_bytes += leaf.nbytes
+            else:
+                replicated_bytes += leaf.nbytes
+    assert sharded_bytes > 10 * replicated_bytes, (
+        f"ZeRO-1 left too much replicated: {sharded_bytes=} {replicated_bytes=}"
+    )
+
+
+def test_checkpoint_roundtrip_sharded(tmp_path):
+    """VERDICT-r4 item 7: a DP/TP/ZeRO-sharded train state saves per-leaf
+    (streaming, no full host pytree) and restores with each leaf
+    ``device_put`` straight to its NamedSharding."""
+    from nuwa_tpu.parallel import shard_opt_state
+    from nuwa_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model = tiny_model()
+    mesh = make_mesh(data=4, model=2)
+    params = shard_params(model.init(KEY), mesh)
+    tx = get_optimizer(lr=1e-3, wd=0.01, params=params)
+    opt, _ = shard_opt_state(tx.init(params), mesh)
+    state = {"params": params, "opt": opt, "step": jnp.asarray(3, jnp.int32)}
+
+    path = save_checkpoint(tmp_path, "m", 3, state)
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    restored = load_checkpoint(path, state, shardings)
+
+    for orig, back in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert back.sharding == orig.sharding, (back.sharding, orig.sharding)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(orig))
+
+
+def test_checkpoint_legacy_msgpack_loads(tmp_path):
+    """Rounds 1-4 wrote flax-msgpack checkpoints; they must keep loading
+    (and place onto shardings when given)."""
+    from flax import serialization
+
+    from nuwa_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    tree = {"a": jnp.arange(24.0).reshape(8, 3), "b": jnp.asarray(7, jnp.int32)}
+    path = tmp_path / "m.5.msgpack"
+    path.write_bytes(serialization.to_bytes(jax.device_get(tree)))
+
+    step, found = latest_checkpoint(tmp_path, "m")
+    assert step == 5 and found == str(path)
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = {
+        "a": NamedSharding(mesh, P("data", None)),
+        "b": NamedSharding(mesh, P()),
+    }
+    restored = load_checkpoint(path, tree, shardings)
+    assert restored["a"].sharding == shardings["a"]
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(24.0).reshape(8, 3))
+    assert int(restored["b"]) == 7
+
+
+def test_pipeline_x_tensor_parallel():
+    """PP×TP (VERDICT-r4 item 2): a ('pipe','model') mesh where stage params
+    are TP-sharded over 'model' (heads split column/row-parallel) while the
+    stack pipelines over 'pipe'. _gpipe marks only pipe/data as manual, so
+    GSPMD keeps partitioning the stage compute over 'model'. Forward AND
+    grads must match the plain unsharded stack."""
+    from jax.sharding import Mesh
+    from nuwa_tpu.parallel.pipeline import pipelined_transformer
+    from nuwa_tpu.transformer import Transformer
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("pipe", "model"))
+    tr = Transformer(dim=32, depth=4, causal=True, heads=4, dim_head=8)
+    p = tr.init(KEY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32))
+    w = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    ref = tr(p, x)
+    g_ref = jax.grad(lambda p: jnp.mean(tr(p, x) * w))(p)
+
+    def place(leaf, spec):
+        # same divisibility fallback as shard_params: replicate odd shapes
+        for ax, name in enumerate(spec):
+            if name is not None and leaf.shape[ax] % mesh.shape[name]:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    specs = make_param_specs(p)
+    sp = jax.tree.map(place, p, specs)
+    # the TP rules actually split the attention projections over 'model'
+    q_shards = sp["layers"][0]["inner"]["to_q"]["w"].sharding.spec
+    assert "model" in str(q_shards), q_shards
+
+    run = jax.jit(
+        lambda p, x: pipelined_transformer(tr, p, x, mesh, num_microbatches=2)
+    )
+    out = run(sp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    g = jax.jit(
+        jax.grad(
+            lambda p: jnp.mean(
+                pipelined_transformer(tr, p, x, mesh, num_microbatches=2) * w
+            )
+        )
+    )(sp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g_ref, g,
+    )
