@@ -154,6 +154,77 @@ def _analytic_train_flops(*, frames, fmap, dim, depth, heads, dim_head,
     return batch * (3 * fwd + depth * layer)
 
 
+def _video_attn_keys(fmap, kernel_f, dilation_f, causal=True):
+    """Score-matrix columns PER QUERY that the realized Sparse3DNA kernel
+    actually computes (the analytic MFU counts real kernel matmuls):
+    whole-frame = Kf dense frame tiles; lane-packed small frames = nJ dense
+    128-lane super-tiles (kernels.nda_pallas.packed_frames)."""
+    HW = fmap * fmap
+    if HW < 128 and 128 % HW == 0 and causal:
+        from nuwa_tpu.kernels.nda_pallas import _packed_taps
+
+        P = 128 // HW
+        taps, _ = _packed_taps(kernel_f, dilation_f, P)
+        return len(taps) * P * HW
+    return kernel_f * HW
+
+
+def _analytic_dual_flops(model, frames, batch, text_len):
+    """Per-step matmul FLOPs of the dual video+audio train step, counting
+    the Pallas kernels' real matmuls (XLA reports 0 for custom calls).
+    bwd = 2x fwd; the reversible recompute adds ~1x of the decoder stack
+    (same convention as _analytic_train_flops). Audio attention uses the
+    nominal taps-x-height key count (its share is <2% at bench shapes)."""
+    dim, heads = model.dim, model.dec_heads
+    dh = model.dec_dim_head
+    inner = heads * dh
+    dpad = ((dh + 127) // 128) * 128
+    ffi = (dim * 4 * 2) // 3
+    fmap = model.video_shape[-1]
+    vt = frames * model.num_video_tokens_per_frame
+    at = frames * model.num_audio_tokens_per_video_frame
+    ks = model.sparse_3dna_kernel_size
+    kf = ks[0] if isinstance(ks, tuple) else ks
+    dils = model.sparse_3dna_dilation
+    dils = dils if isinstance(dils, tuple) else (dils,)
+
+    def proj(t):  # q + k + v + out projections
+        return 2 * t * dim * (inner * 4)
+
+    def ff(t):  # GEGLU feedforward
+        return 2 * t * dim * (2 * ffi) + 2 * t * ffi * dim
+
+    def attend(tq, keys):  # QK^T + PV, fp32-accumulated bf16 matmuls
+        return 2 * tq * heads * keys * dpad * 2
+
+    dec = 0.0
+    for ind in range(model.dec_depth):
+        df = dils[ind % len(dils)]
+        keys_v = _video_attn_keys(fmap, kf, df)
+        # "self": video 3DNA + video ff + audio 2DNA + audio ff
+        keys_a = model.sparse_2dna_kernel_size * model.audio_tokens_per_timestep
+        dec += proj(vt) + attend(vt, keys_v) + ff(vt)
+        dec += proj(at) + attend(at, keys_a) + ff(at)
+        # "cross": both streams attend the text encoding (+1 null kv)
+        dec += proj(vt) + attend(vt, text_len + 1) + ff(vt)
+        dec += proj(at) + attend(at, text_len + 1) + ff(at)
+        if (ind + 1) % model.cross_modality_attn_every == 0:
+            # xmod: frame-aligned chunked cross-modality attention
+            atpf = model.num_audio_tokens_per_video_frame
+            vtpf = model.num_video_tokens_per_frame
+            dec += proj(vt) + attend(vt, atpf + 1) + ff(vt)
+            dec += proj(at) + attend(at, vtpf + 1) + ff(at)
+    text_enc = model.text_enc_depth * (
+        proj(text_len) + attend(text_len, text_len) + ff(text_len)
+    )
+    logits = (
+        2 * vt * dim * model.vae.codebook_size
+        + 2 * at * dim * model.num_audio_tokens
+    )
+    fwd = dec + text_enc + logits
+    return batch * (3 * fwd + dec)
+
+
 def bench_train_step(frames=10, fmap=16, dim=512, depth=6, heads=8,
                      dim_head=64, batch=2, text_len=32, seed=0):
     """Training step at BASELINE config #3 scale: 10 frames of fmap-16
@@ -306,10 +377,12 @@ def bench_dual_train_step(frames=4, fmap=8, dim=512, depth=12, heads=8,
         return state[-1]
 
     dt = _rate(dispatch)
+    afl = _analytic_dual_flops(model, frames, batch, text_len)
     return {
         "ms_per_step": dt * 1e3,
         "train_tokens_per_sec": batch * (vtok + atok) / dt,
         "depth": depth,
+        "mfu_analytic": afl / dt / _V5E_BF16_PEAK,
     }
 
 
@@ -382,6 +455,53 @@ def bench_generate_long(frames_total=8, max_frames=4, fmap=8, dim=512,
         lambda: run(jax.random.PRNGKey(next(counter))), k_lo=1, k_hi=4,
     )
     return {"tokens_per_sec": batch * total / dt, "seconds": dt}
+
+
+def bench_serve_composite(frames_total=8, max_frames=4, fmap=8, dim=2048,
+                          depth=6, heads=16, dim_head=128, text_len=32,
+                          batch=8):
+    """Composite serving row (VERDICT-r4 #6): every serving optimization in
+    ONE number — dim 2048 (the scale where int8 weight-only wins, 1.34x op-
+    level), batch 8, cache-jitted sliding-window generate_long, int8 weights
+    — against the same-config bf16 rollout. The reference serves with an
+    uncached full re-forward per token (nuwa_pytorch.py:1841-1915)."""
+    from nuwa_tpu.models import NUWA
+    from nuwa_tpu.utils.quantize import quantize_params_int8
+
+    model = NUWA(
+        dim=dim, image_size=fmap, num_image_tokens=1024,
+        max_video_frames=max_frames, text_num_tokens=49408,
+        text_max_seq_len=text_len, text_enc_depth=2,
+        text_enc_dim_head=dim_head, text_enc_heads=heads, dec_depth=depth,
+        dec_dim_head=dim_head, dec_heads=heads, sparse_3dna_kernel_size=3,
+        sparse_3dna_dilation=2, shift_video_tokens=True,
+        compute_dtype="bfloat16",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    text = jnp.ones((batch, text_len), jnp.int32)
+    total = frames_total * model.tokens_per_frame
+
+    def measure(p):
+        def run(key):
+            return model.generate_long(
+                p, text=text, key=key, num_frames=frames_total,
+                decode_video=False, cond_scale=2.0, method="cached",
+            )
+
+        _sync(jnp.sum(run(jax.random.PRNGKey(0))))  # compile
+        counter = iter(range(1, 10_000))
+        dt = _rate(
+            lambda: run(jax.random.PRNGKey(next(counter))), k_lo=1, k_hi=3,
+        )
+        return batch * total / dt
+
+    bf16 = measure(params)
+    int8 = measure(quantize_params_int8(params))
+    return {
+        "bf16_tokens_per_sec": bf16,
+        "int8_tokens_per_sec": int8,
+        "int8_speedup": int8 / bf16,
+    }
 
 
 def bench_cross_op(fmap=16, frames=10, ctx_frames=1, dim=512, heads=8,
@@ -563,8 +683,20 @@ def main():
         du = bench_dual_train_step()
         line["dual_train_ms_per_step_depth12"] = round(du["ms_per_step"], 2)
         line["dual_train_tokens_per_sec"] = round(du["train_tokens_per_sec"], 2)
+        line["dual_train_mfu_analytic"] = round(du["mfu_analytic"], 4)
     except Exception as e:  # pragma: no cover
         line["dual_train_error"] = repr(e)[:200]
+    try:
+        sv = bench_serve_composite()
+        line["serve_tokens_per_sec_dim2048_int8"] = round(
+            sv["int8_tokens_per_sec"], 2
+        )
+        line["serve_tokens_per_sec_dim2048_bf16"] = round(
+            sv["bf16_tokens_per_sec"], 2
+        )
+        line["serve_int8_speedup_dim2048"] = round(sv["int8_speedup"], 3)
+    except Exception as e:  # pragma: no cover
+        line["serve_error"] = repr(e)[:200]
     try:
         xo = bench_cross_op()
         line["cross_op_fwdbwd_speedup_vs_gather"] = round(xo["speedup"], 3)

@@ -53,6 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 # configuration the parity tests pin).
 _CACHE_DTYPE = jnp.bfloat16
 
+# timing-probe switch (scripts/bench_cross_2dna.py --probe-recompute): bake
+# a backward that SKIPS the flash QK score recompute, to measure what a
+# cached-score backward would save. Never enable outside timing probes —
+# the gradients it produces are wrong.
+_PROBE_SKIP_SCORES = False
+
 
 def _hash_u32(x):
     """splitmix32-style avalanche hash on uint32 vectors (VPU ops only)."""
@@ -258,6 +264,7 @@ def _kernel(
     drop_rate: float = 0.0,
     fixed_taps: bool = False,
     has_cmask: bool = False,
+    tap_offsets: tuple | None = None,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -280,6 +287,8 @@ def _kernel(
         # original-frame index of tap j; padded slice start is (g + LB) * HW
         if fixed_taps:  # cross attention: tap j IS context frame j, any fi
             return j
+        if tap_offsets is not None:  # lane-packed: static irregular offsets
+            return fi - tap_offsets[j]
         if causal_f:
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
@@ -884,6 +893,7 @@ def _bwd_q_kernel(
     drop_rate: float = 0.0,
     fixed_taps: bool = False,
     has_cmask: bool = False,
+    tap_offsets: tuple | None = None,
 ):
     bi = pl.program_id(0)
     fi = pl.program_id(1)
@@ -908,6 +918,8 @@ def _bwd_q_kernel(
     def tap_src_frame(j):
         if fixed_taps:  # cross attention: tap j IS context frame j, any fi
             return j
+        if tap_offsets is not None:  # lane-packed: static irregular offsets
+            return fi - tap_offsets[j]
         if causal_f:
             return fi - j * df
         return fi + (j - (Kf - 1) // 2) * df
@@ -1040,6 +1052,7 @@ def _bwd_kv_kernel(
     drop_rate: float = 0.0,
     fixed_taps: bool = False,
     has_cmask: bool = False,
+    tap_offsets: tuple | None = None,
 ):
     bi = pl.program_id(0)
     gk = pl.program_id(1)
@@ -1128,7 +1141,12 @@ def _bwd_kv_kernel(
         rounds = []
         for j in range(Kf):
             # query frame whose tap j reads key frame gk
-            fi = gk + j * df if causal_f else gk - (j - (Kf - 1) // 2) * df
+            if tap_offsets is not None:
+                fi = gk + tap_offsets[j]
+            elif causal_f:
+                fi = gk + j * df
+            else:
+                fi = gk - (j - (Kf - 1) // 2) * df
             rounds.append((fi, j, jnp.logical_and(fi >= 0, fi < num_f)))
 
     cps_list = [round_cps(fi, r % 2) for r, (fi, _, _) in enumerate(rounds)]
@@ -1251,7 +1269,8 @@ def _combined_bias(mod, p, heads):
 
 
 def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
-              seed=None, drop_rate=0.0, fixed_taps=False, cmask=None):
+              seed=None, drop_rate=0.0, fixed_taps=False, cmask=None,
+              tap_offsets=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
@@ -1265,6 +1284,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
         Kf=kf, df=geo["df"], LB=geo["LB"], HW=HW, heads=h, dim_head=d,
         t_valid=t, causal_f=False if fixed_taps else mod.causal,
         drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
+        tap_offsets=tap_offsets,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1311,7 +1331,7 @@ def _fwd_call(mod, geo, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
 
 def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
                 kpad, vpad, seed=None, drop_rate=0.0, fixed_taps=False,
-                cmask=None):
+                cmask=None, tap_offsets=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
@@ -1327,6 +1347,7 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
         t_valid=t, causal_f=False if fixed_taps else mod.causal,
         rel_pos=getattr(mod, "rel_pos_bias", False),
         drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
+        tap_offsets=tap_offsets,
     )
     return pl.pallas_call(
         kernel,
@@ -1387,7 +1408,8 @@ def _bwd_q_call(mod, geo, t, q, gout, lse, k_bos, v_bos, cbias, th_w,
 
 
 def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
-                 seed=None, drop_rate=0.0, fixed_taps=False, cmask=None):
+                 seed=None, drop_rate=0.0, fixed_taps=False, cmask=None,
+                 tap_offsets=None):
     b, h = q.shape[0], q.shape[1]
     HW, d, kf = geo["HW"], geo["d"], geo["kf"]
     F = geo["F"]
@@ -1402,6 +1424,7 @@ def _bwd_kv_call(mod, geo, t, q, gout, lse, rho, k, v, cbias, th_w,
         Kf=kf, df=geo["df"], HW=HW, heads=h,
         t_valid=t, causal_f=False if fixed_taps else mod.causal, num_f=F,
         drop_rate=drop_rate, fixed_taps=fixed_taps, has_cmask=has_cmask,
+        tap_offsets=tap_offsets,
     )
     return pl.pallas_call(
         kernel,
@@ -1875,6 +1898,124 @@ def _rb_hw_tab(mod, geo, sbias):
 _VJP_CACHE = {}
 
 
+def packed_frames(mod):
+    """Lane-packing factor P for small frames (HW < 128).
+
+    TPU vector lanes come in 128s: a whole-frame kernel at HW=64 (the
+    driver's fmap-8 headline config) would waste half of every lane tile and
+    its (1, h, HW) lse output block violates the Mosaic lane rule outright.
+    Packing P = 128 // HW consecutive frames into one 128-lane "super-frame"
+    makes the packed problem *exactly* a whole-frame problem again: tap
+    validity between packed positions depends only on (super-tap J, p, p'),
+    so it folds into a static per-super-tap additive bias (``_packed_bias``)
+    and the existing fwd/bwd kernels run unchanged apart from the static
+    tap-offset list. Causal only (the centered user — the sketch encoder —
+    runs at fmap >= 16). None = not applicable."""
+    HW = mod.video_shape[1] * mod.video_shape[2]
+    if HW >= 128 or 128 % HW != 0 or not mod.causal:
+        return None
+    if getattr(mod, "row_block", None) is not None:
+        return None
+    return 128 // HW
+
+
+def _packed_taps(Kf, df, P):
+    """Super-tap offsets + per-super-tap (p, p') -> j block maps.
+
+    A query token in sub-frame p of super-frame FI and a key token in
+    sub-frame p' of super-frame FI - J are (J*P + p - p') real frames apart;
+    that pair is a real tap iff the distance is j*df for some j < Kf. A
+    super-tap J is emitted only when at least one (p, p') block is valid —
+    e.g. Kf=5, df=4, P=2 keeps J ∈ {0, 2, 4, 6, 8} (diagonal blocks only),
+    not the dense range."""
+    offsets, block_maps = [], []
+    for J in range(((Kf - 1) * df + P - 1) // P + 1):
+        bm = {}
+        for pq in range(P):
+            for pk in range(P):
+                rel = J * P + pq - pk
+                if rel >= 0 and rel % df == 0 and rel // df < Kf:
+                    bm[(pq, pk)] = rel // df
+        if bm:
+            offsets.append(J)
+            block_maps.append(bm)
+    return tuple(offsets), block_maps
+
+
+def _packed_bias(cbias, block_maps, P, HW):
+    """Differentiable packed bias (nJ, hb, P*HW, P*HW) from the per-tap
+    (Kf, hb, HW, HW) combined bias; invalid (p, p') blocks are -1e30. Axial
+    rel-pos parameter grads chain through this concat/stack construction."""
+    hb = cbias.shape[1]
+    neg = jnp.full((hb, HW, HW), -1e30, cbias.dtype)
+    packed = []
+    for bm in block_maps:
+        rows = []
+        for pq in range(P):
+            cols = [
+                cbias[bm[(pq, pk)]] if (pq, pk) in bm else neg
+                for pk in range(P)
+            ]
+            rows.append(jnp.concatenate(cols, axis=-1))
+        packed.append(jnp.concatenate(rows, axis=-2))
+    return jnp.stack(packed)
+
+
+def _packed_core_op(mod, Fp, t, taps, HWp, drop_rate=0.0):
+    """custom_vjp core over P-packed super-frames: the plain whole-frame
+    kernels with super geometry (HW'=P*HW, F'=ceil(F/P)) and the static
+    irregular tap offsets. Identical save/recompute structure to _core_op."""
+
+    def geo(d_orig):
+        d = ((d_orig + 127) // 128) * 128
+        return dict(HW=HWp, d=d, kf=len(taps), F=Fp, df=1,
+                    LB=taps[-1], RB=0)
+
+    def run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        g = geo(q.shape[-1])
+        kpad, vpad = _pad_frames(g, k, v)
+        return _fwd_call(
+            mod, g, t, q, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate, tap_offsets=taps,
+        )
+
+    @jax.custom_vjp
+    def core(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        return run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)[0]
+
+    def core_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed):
+        out, lse = run_fwd(q, k, v, k_bos, v_bos, cbias, th_w, seed)
+        return out, (q, k, v, k_bos, v_bos, cbias, th_w, seed, lse)
+
+    def core_bwd(res, gout):
+        q, k, v, k_bos, v_bos, cbias, th_w, seed, lse = res
+        g = geo(q.shape[-1])
+        kpad, vpad = _pad_frames(g, k, v)
+        gout = gout.astype(q.dtype)
+        dq, rho, dkbos, dvbos, dth, dcb = _bwd_q_call(
+            mod, g, t, q, gout, lse, k_bos, v_bos, cbias, th_w, kpad, vpad,
+            seed=seed, drop_rate=drop_rate, tap_offsets=taps,
+        )
+        dk, dv = _bwd_kv_call(
+            mod, g, t, q, gout, lse, rho, k, v, cbias, th_w,
+            seed=seed, drop_rate=drop_rate, tap_offsets=taps,
+        )
+        dseed = np.zeros((1,), dtype=jax.dtypes.float0)
+        return (
+            dq,
+            dk,
+            dv,
+            dkbos.astype(k_bos.dtype),
+            dvbos.astype(v_bos.dtype),
+            dcb.astype(cbias.dtype),
+            dth.astype(th_w.dtype),
+            dseed,
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
 def _core_op(mod, num_frames, t, drop_rate=0.0):
     """custom_vjp core over tensors only (the combined bias is precomputed
     outside so autodiff chains parameter grads through ``_combined_bias``).
@@ -1940,6 +2081,44 @@ def sparse_3dna_pallas_vjp(mod, num_frames: int, t: int):
         return _VJP_CACHE[cache_key]
 
     HW = mod.video_shape[1] * mod.video_shape[2]
+    P = packed_frames(mod)
+    if P is not None:
+        # lane-packed small frames (HW < 128): P frames per 128-lane
+        # super-frame, same kernels, packed bias (see packed_frames)
+        taps, block_maps = _packed_taps(mod.kernel[0], mod.dilations[0], P)
+        Fp = -(-num_frames // P)
+        HWp = P * HW
+        core = _packed_core_op(mod, Fp, t, taps, HWp, drop_rate=mod.dropout)
+        core_nodrop = (
+            _packed_core_op(mod, Fp, t, taps, HWp, drop_rate=0.0)
+            if mod.dropout
+            else core
+        )
+
+        def op_packed(p_sub, q, k, v, k_bos, v_bos, seed=None):
+            d_orig = q.shape[-1]
+            d = ((d_orig + 127) // 128) * 128
+            cbias, th_w = _combined_bias(mod, p_sub, mod.heads)
+            cbias = _packed_bias(cbias, block_maps, P, HW)
+            q, k, v, k_bos, v_bos = _pad_d(
+                [q, k, v, k_bos, v_bos], d_orig, d
+            )
+            extra = Fp * HWp - q.shape[2]
+            if extra:  # pad the tail to whole super-frames (t_valid masks)
+                pr = ((0, 0), (0, 0), (0, extra), (0, 0))
+                q, k, v = jnp.pad(q, pr), jnp.pad(k, pr), jnp.pad(v, pr)
+            if seed is None:  # inference: no dropout
+                out = core_nodrop(
+                    q, k, v, k_bos, v_bos, cbias, th_w,
+                    jnp.zeros((1,), jnp.int32),
+                )
+            else:
+                out = core(q, k, v, k_bos, v_bos, cbias, th_w, seed)
+            return out[:, :, :t, :d_orig]
+
+        _VJP_CACHE[cache_key] = op_packed
+        return op_packed
+
     if HW > 256 or getattr(mod, "row_block", None) is not None:
         # row-blocked kernels (causal or centered): true flash backward too;
         # dropout uses absolute-coordinate masks (see _keep_mask_abs)
@@ -2768,11 +2947,21 @@ def _xfused_bwd_kernel(
         return q_c, go_c, lse_c, bias_c
 
     def tap_p(j, kmat, q_c, lse_c, bias_c):
-        s = jax.lax.dot_general(
-            q_c, kmat, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )
-        s = s + bias_c[None]
+        if _PROBE_SKIP_SCORES:
+            # timing probe ONLY (wrong numerics): drop the flash-style QK
+            # score recompute so its cost can be measured as the delta vs
+            # the real backward — the share a cached-score backward (the
+            # gather oracle's layout) would save. docs/BENCHMARKS.md
+            # "cross backward decomposition".
+            s = jnp.broadcast_to(
+                bias_c[None], (q_c.shape[0],) + bias_c.shape
+            )
+        else:
+            s = jax.lax.dot_general(
+                q_c, kmat, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            s = s + bias_c[None]
         s = s + cmask_ref[0, :, j * HW : (j + 1) * HW][None]
         s = s.astype(_CACHE_DTYPE).astype(f32)  # match the fwd's rounding
         return jnp.exp(s - lse_c[..., None])

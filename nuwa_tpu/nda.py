@@ -628,10 +628,19 @@ class Sparse3DNA(Module):
         want_pallas = self.use_pallas or (self.backend == "auto" and on_tpu)
         if wf:
             # Mosaic lane rule: the (1, h, HW) lse block needs HW % 128 == 0
-            # in compiled mode (interpret mode on CPU has no such limit). At
-            # small fmaps the attention op is a negligible share anyway —
-            # round-1 measured all backends tying at fmap 8.
-            shape_ok = tokens_per_frame % 128 == 0 or not on_tpu
+            # in compiled mode (interpret mode on CPU has no such limit).
+            # Small causal frames whose HW divides 128 are LANE-PACKED
+            # instead (P frames per 128-lane super-frame — see
+            # kernels.nda_pallas.packed_frames), so fmap 8/4 get a real
+            # kernel path too.
+            packable = (
+                self.causal
+                and tokens_per_frame < 128
+                and 128 % tokens_per_frame == 0
+            )
+            shape_ok = (
+                tokens_per_frame % 128 == 0 or packable or not on_tpu
+            )
             pallas_ok = want_pallas and shape_ok
         else:
             # large fmaps: row-blocked kernel (fmap width <= 256)
@@ -647,7 +656,8 @@ class Sparse3DNA(Module):
             if wf:
                 why = (
                     f"tokens_per_frame={tokens_per_frame} fails the Mosaic "
-                    f"lane rule (HW % 128 needed)"
+                    f"lane rule (HW % 128 needed) and is not lane-packable "
+                    f"(128 % HW == 0 + causal needed)"
                 )
             elif R is None:
                 why = (

@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dim-head", type=int, default=64)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument(
+        "--probe-recompute", action="store_true",
+        help="additionally time the Pallas backward with the flash QK score "
+             "recompute stubbed out (wrong numerics, timing only) to "
+             "decompose the fwd+bwd time into recompute vs the rest",
+    )
     args = ap.parse_args()
 
     from nuwa_tpu.nda import Sparse3DNA, SparseCross2DNA
@@ -103,6 +109,32 @@ def main():
     dt_s, _ = time_fn(lambda p, x: g_self(p, x)["to_q"]["w"], ps, x)
     print(f"self-3DNA fwd+bwd    : {dt_s*1e3:8.2f} ms", flush=True)
     print(f"dense cross/self train ratio: {dt_d/dt_s:.3f}", flush=True)
+
+    if args.probe_recompute:
+        # VERDICT-r4 #4(b): make "the residual is flash recompute" a number.
+        # Rebuild the jitted grad with the probe flag baked in: the backward
+        # kernel skips its QK score-recompute matmuls (gradients are wrong —
+        # timing only). delta = what a cached-score backward would save.
+        import nuwa_tpu.kernels.nda_pallas as K
+
+        K._PROBE_SKIP_SCORES = True
+        try:
+            g_probe = jax.jit(
+                jax.grad(lambda p, x, c: jnp.sum(cross_p(p, x, context=c) * w))
+            )
+            dt_pr, _ = time_fn(
+                lambda p, x, c: g_probe(p, x, c)["to_q"]["w"], pc, x, ctx
+            )
+        finally:
+            K._PROBE_SKIP_SCORES = False
+        saved = dt_p - dt_pr
+        print(
+            f"cross pallas fwd+bwd, no score recompute (timing probe): "
+            f"{dt_pr*1e3:8.2f} ms -> recompute share {saved*1e3:.2f} ms "
+            f"= {100*saved/dt_p:.1f}% of fwd+bwd "
+            f"(cached-score bwd would still cost {dt_pr*1e3:.2f} ms "
+            f"+ the cache traffic)", flush=True,
+        )
 
 
 if __name__ == "__main__":

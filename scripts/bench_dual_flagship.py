@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--audio-tpf", type=int, default=32)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dim-head", type=int, default=64)
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="dec_reversible=False + dec_remat=True: the layout PP imposes "
+             "(pipeline stages exclude the reversible runtime) — quantifies "
+             "the remat-instead-of-reversible trade at flagship scale",
+    )
     args = ap.parse_args()
 
     import optax
@@ -64,7 +70,8 @@ def main():
         dec_depth=args.depth,
         dec_dim_head=args.dim_head,
         dec_heads=args.heads,
-        dec_reversible=True,
+        dec_reversible=not args.remat,
+        dec_remat=args.remat,
         sparse_3dna_kernel_size=3,
         sparse_3dna_dilation=(1, 2),
         shift_video_tokens=True,
@@ -134,6 +141,15 @@ def main():
         f"depth-{args.depth} dual train step: {dt*1e3:.1f} ms/step, "
         f"{b*(vtok+atok)/dt:.0f} tok/s (video {vtok} + audio {atok} tokens, "
         f"batch {b})", flush=True,
+    )
+    # kernel-aware analytic MFU (XLA's cost model reports 0 FLOPs for the
+    # Pallas custom calls, so its MFU is only a floor) — VERDICT-r4 #3
+    from bench import _analytic_dual_flops
+
+    afl = _analytic_dual_flops(model, args.frames, b, 32)
+    print(
+        f"analytic MFU: {afl / dt / 197e12:.3f} ({afl/1e12:.2f} TF/step, "
+        f"kernel-aware matmul count)", flush=True,
     )
     try:
         ca = compiled.cost_analysis()

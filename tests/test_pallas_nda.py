@@ -804,3 +804,98 @@ def test_pallas_cross_2dna_dropout(Fc):
     finally:
         K._CACHE_DTYPE = old
         K._VJP_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# lane-packed small frames (HW < 128, 128 % HW == 0): P frames per
+# 128-lane super-frame — the driver's fmap-8 config gets a kernel path
+# ---------------------------------------------------------------------------
+
+
+def test_packed_taps_structure():
+    """Super-tap enumeration: dense strides keep every J; strided dilations
+    drop super-taps with no valid (p, p') block (Kf=5, df=4, P=2 keeps only
+    the diagonal J ∈ {0, 2, 4, 6, 8})."""
+    from nuwa_tpu.kernels.nda_pallas import _packed_taps
+
+    taps, maps = _packed_taps(5, 1, 2)
+    assert taps == (0, 1, 2)
+    taps, maps = _packed_taps(5, 4, 2)
+    assert taps == (0, 2, 4, 6, 8)
+    for bm in maps:
+        assert all(pq == pk for pq, pk in bm)  # diagonal blocks only
+    # packed fmap-4 style: huge P, taps collapse into two super-taps
+    taps, _ = _packed_taps(3, 2, 32)
+    assert taps == (0, 1)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_pallas_packed_fmap8(dilation):
+    """fmap-8 geometry (HW=64, P=2): packed kernel vs the gather oracle,
+    odd frame count (tail super-frame is half phantom) + ragged tail."""
+    from nuwa_tpu.kernels.nda_pallas import packed_frames
+
+    mod = Sparse3DNA(
+        dim=32, video_shape=(5, 8, 8), kernel_size=3, dilation=dilation,
+        heads=2, dim_head=16, causal=True, rel_pos_bias=True,
+    )
+    assert packed_frames(mod) == 2
+    t = 5 * 64 - 7
+    x = jax.random.normal(KEY, (2, 1 + t, 32))
+    _compare(mod, x)
+
+
+def test_pallas_packed_fmap8_backward():
+    """Packed-path gradients (dq/dk/dv/bos/axial-bias/talking-heads) match
+    the gather path at fmap-8 geometry with dilation 2 (irregular taps).
+    Runs with the fp32 score cache so the match is exact (~1e-6) — with the
+    default bf16 cache the only deviation is the documented cache rounding."""
+    import nuwa_tpu.kernels.nda_pallas as K
+
+    old = K._CACHE_DTYPE
+    K._CACHE_DTYPE = jnp.float32
+    K._VJP_CACHE.clear()
+    try:
+        mod = Sparse3DNA(
+            dim=32, video_shape=(5, 8, 8), kernel_size=3, dilation=2,
+            heads=2, dim_head=16, causal=True, rel_pos_bias=True,
+        )
+        mod_pl = mod.replace(use_pallas=True)
+        p = mod.init(KEY)
+        t = 5 * 64 - 5
+        x = jax.random.normal(KEY, (2, 1 + t, 32))
+        w = jax.random.normal(jax.random.PRNGKey(7), (2, 1 + t, 32))
+
+        def loss(m, p, x):
+            return jnp.sum(m(p, x) * w)
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(mod, p, x)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss, argnums=(1, 2))(mod_pl, p, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_array_less(np.abs(a - b).max() / scale, 1e-4)
+    finally:
+        K._CACHE_DTYPE = old
+        K._VJP_CACHE.clear()
+
+
+def test_packed_not_applied_to_centered_or_nondivisor():
+    """Centered mode and HW values that don't divide 128 stay unpacked."""
+    from nuwa_tpu.kernels.nda_pallas import packed_frames
+
+    centered = Sparse3DNA(
+        dim=16, video_shape=(3, 8, 8), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=False,
+    )
+    assert packed_frames(centered) is None
+    nondiv = Sparse3DNA(
+        dim=16, video_shape=(3, 2, 3), kernel_size=3, dilation=1,
+        heads=2, dim_head=8, causal=True,
+    )
+    assert packed_frames(nondiv) is None
+    # ... and the non-divisor causal case still has a correct (unpacked
+    # whole-frame) interpret-mode path
+    x = jax.random.normal(KEY, (1, 1 + 18, 16))
+    _compare(nondiv, x)
