@@ -261,6 +261,11 @@ def pipelined_transformer(
     S = mesh.shape[axis]
     L = validate_stages(transformer, S)
     stage_menu = transformer.layer_menu[:L]
+    if context is None and any(kind == "cross" for kind, _ in stage_menu):
+        raise ValueError(
+            "pipelined_transformer: the transformer has cross-attention "
+            "layers (cross_attend=True) but no `context=` was given"
+        )
     b = x.shape[0]
     M = num_microbatches
     mb = _check_microbatching(mesh, axis, data_axis, b, M)

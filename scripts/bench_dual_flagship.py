@@ -169,3 +169,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    # the axon tunnel's device teardown can hang for an hour after the
+    # results are printed; results are complete at this point
+    import os
+
+    os._exit(0)

@@ -24,11 +24,14 @@ def _sync(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
+_KLO, _KHI = 4, 20
+
+
 def time_fn(fn, *args):
     from nuwa_tpu.utils.timing import device_rate
 
     s = _sync(fn(*args))
-    return device_rate(lambda: fn(*args), k_lo=4, k_hi=20), s
+    return device_rate(lambda: fn(*args), k_lo=_KLO, k_hi=_KHI), s
 
 
 def main():
@@ -42,7 +45,14 @@ def main():
     ap.add_argument("--dilation", type=int, default=2)
     ap.add_argument("--train-step", action="store_true",
                     help="also time a NUWA train step pallas-auto vs dense")
+    ap.add_argument("--klo", type=int, default=4,
+                    help="two-point timing: low dispatch count")
+    ap.add_argument("--khi", type=int, default=20,
+                    help="two-point timing: high dispatch count (sub-ms ops "
+                         "need khi-klo ~100 to clear the relay jitter floor)")
     args = ap.parse_args()
+    global _KLO, _KHI
+    _KLO, _KHI = args.klo, args.khi
 
     from nuwa_tpu.nda import Sparse3DNA
 

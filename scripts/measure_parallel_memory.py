@@ -250,13 +250,16 @@ def part_c_bubble():
     B, N = 32, 128
     x = jax.random.normal(jax.random.PRNGKey(1), (B, N, 512))
     w = jax.random.normal(jax.random.PRNGKey(2), (B, N, 512))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (B, 64, 512))
 
     out = {}
     for M in (1, 2, 4, 8, 16, 32):
         f = jax.jit(
             jax.grad(
                 lambda p: jnp.mean(
-                    pipelined_transformer(tr, p, x, mesh, num_microbatches=M)
+                    pipelined_transformer(
+                        tr, p, x, mesh, num_microbatches=M, context=ctx
+                    )
                     * w
                 )
             )

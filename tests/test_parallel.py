@@ -766,6 +766,14 @@ def test_pipeline_stage_validation():
     x = jnp.zeros((4, 8, 32))
     with pytest.raises(ValueError, match="not divisible"):
         pipelined_transformer(ok, p, x, _pipe_mesh(2), num_microbatches=3)
+    # cross layers without context must fail loudly up front (not a
+    # KeyError from inside the pipeline scan)
+    xa = Transformer(
+        dim=32, depth=4, causal=True, heads=2, dim_head=16, cross_attend=True
+    )
+    pxa = xa.init(KEY)
+    with pytest.raises(ValueError, match="no `context="):
+        pipelined_transformer(xa, pxa, x, _pipe_mesh(2), num_microbatches=2)
 
 
 def test_pipeline_dropout_runs_and_is_deterministic():
