@@ -185,8 +185,9 @@ def _analytic_dual_flops(model, frames, batch, text_len):
     at = frames * model.num_audio_tokens_per_video_frame
     ks = model.sparse_3dna_kernel_size
     kf = ks[0] if isinstance(ks, tuple) else ks
-    dils = model.sparse_3dna_dilation
-    dils = dils if isinstance(dils, tuple) else (dils,)
+    # match the model's own dilation expansion (an int d means the cycle
+    # (1, .., d), NOT a single dilation — models/nuwa_video_audio._dils)
+    dils = model._dils(model.sparse_3dna_dilation)
 
     def proj(t):  # q + k + v + out projections
         return 2 * t * dim * (inner * 4)

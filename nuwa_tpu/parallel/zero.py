@@ -30,22 +30,42 @@ from .sharding import _path_str, partition_spec_for
 P = PartitionSpec
 
 
+def _axes_of(entry):
+    if entry is None:
+        return ()
+    return entry if isinstance(entry, tuple) else (entry,)
+
+
 def _zero_spec(path: str, leaf, mesh: Mesh, data_axis: str) -> PartitionSpec:
-    """Partition spec for one optimizer-state leaf: the leaf's TP spec (the
-    param path is a suffix of the opt-state path, so the same rules match)
-    plus ``data_axis`` on the largest remaining divisible dimension."""
+    """Partition spec for one optimizer-state leaf: the leaf's EXISTING spec
+    when it is already placed on ``mesh`` (so pipe-stacked / TP layouts are
+    preserved — ZeRO must never undo another parallelism's sharding),
+    otherwise its TP spec from the rules (the param path is a suffix of the
+    opt-state path, so the same rules match) — plus ``data_axis`` on the
+    largest remaining divisible dimension."""
     nd = jnp.ndim(leaf)
     if nd == 0:
         return P()
     dp = mesh.shape.get(data_axis, 1)
-    base = partition_spec_for(path, leaf)
-    entries = list(base) + [None] * (nd - len(base))
-    # respect shard_params' divisibility fallback for the TP ('model') axis
-    for ax, name in enumerate(entries):
-        if name is not None and leaf.shape[ax] % mesh.shape[name] != 0:
-            entries = [None] * nd
+    sh = getattr(leaf, "sharding", None)
+    if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+        # already-placed leaf: its spec is ground truth (placement already
+        # satisfied divisibility)
+        entries = list(sh.spec) + [None] * (nd - len(sh.spec))
+    else:
+        base = partition_spec_for(path, leaf)
+        entries = list(base) + [None] * (nd - len(base))
+        # respect shard_params' divisibility fallback for the TP axis
+        for ax, name in enumerate(entries):
+            for a in _axes_of(name):
+                if leaf.shape[ax] % mesh.shape[a] != 0:
+                    entries = [None] * nd
+                    break
+            else:
+                continue
             break
-    if dp > 1:
+    used = {a for e in entries for a in _axes_of(e)}
+    if dp > 1 and data_axis not in used:
         # largest free divisible axis gets the 'data' shards
         free = [
             ax for ax in range(nd)

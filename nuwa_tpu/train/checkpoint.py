@@ -35,6 +35,29 @@ def _key_paths(tree):
     return [jax.tree_util.keystr(path) for path, _ in flat]
 
 
+# .npy can only round-trip native numpy dtypes; extension dtypes
+# (bfloat16, fp8 variants from ml_dtypes) read back as opaque void ('|V2')
+# and are uncastable. Store their BITS as a same-width unsigned int and
+# record the true dtype name in the manifest.
+_UINT_OF_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _is_native(dtype) -> bool:
+    return np.dtype(dtype).type.__module__ == "numpy"
+
+
+def _resolve_dtype(name: str):
+    try:
+        dt = np.dtype(name)
+        if dt.kind != "V":
+            return dt
+    except TypeError:
+        pass
+    import ml_dtypes
+
+    return np.dtype(getattr(ml_dtypes, name))
+
+
 def _atomic_write(directory: Path, final: Path, writer):
     fd, tmp = tempfile.mkstemp(dir=str(directory), suffix=".tmp")
     try:
@@ -58,15 +81,23 @@ def save_checkpoint(directory, name, step, tree):
     final = directory / f"{name}.{step}.ckpt"
     leaves = jax.tree.leaves(tree)
 
+    # dtypes are static metadata (no device_get needed up front)
+    dtypes = [str(np.dtype(getattr(l, "dtype", np.asarray(l).dtype)))
+              for l in leaves]
+
     def write(f):
         with zipfile.ZipFile(f, "w", zipfile.ZIP_STORED) as zf:
-            manifest = {"keys": _key_paths(tree), "version": 1}
+            manifest = {
+                "keys": _key_paths(tree), "dtypes": dtypes, "version": 2,
+            }
             zf.writestr("manifest.json", json.dumps(manifest))
             for i, leaf in enumerate(leaves):
+                arr = np.asarray(jax.device_get(leaf))
+                if not _is_native(arr.dtype):
+                    # store the raw bits; the manifest keeps the real dtype
+                    arr = arr.view(_UINT_OF_WIDTH[arr.dtype.itemsize])
                 buf = io.BytesIO()
-                np.lib.format.write_array(
-                    buf, np.asarray(jax.device_get(leaf)), allow_pickle=False
-                )
+                np.lib.format.write_array(buf, arr, allow_pickle=False)
                 zf.writestr(f"leaf_{i:06d}.npy", buf.getvalue())
 
     _atomic_write(directory, final, write)
@@ -129,6 +160,13 @@ def load_checkpoint(path, template, shardings=None):
         if shardings is not None
         else [None] * len(flat)
     )
+    if len(shard_leaves) != len(flat):
+        raise ValueError(
+            f"shardings pytree has {len(shard_leaves)} leaves but the "
+            f"template has {len(flat)} — they must mirror each other "
+            "(a partial shardings tree would silently leave trailing "
+            "leaves unplaced)"
+        )
     with zipfile.ZipFile(path, "r") as zf:
         manifest = json.loads(zf.read("manifest.json"))
         keys = [jax.tree_util.keystr(p) for p, _ in flat]
@@ -137,10 +175,16 @@ def load_checkpoint(path, template, shardings=None):
                 f"checkpoint {path} does not match the template pytree: "
                 f"{len(manifest['keys'])} saved vs {len(keys)} template leaves"
             )
+        saved_dtypes = manifest.get("dtypes")  # absent in version-1 files
         out = []
         for i, ((_, tmpl), sh) in enumerate(zip(flat, shard_leaves)):
             with zf.open(f"leaf_{i:06d}.npy") as f:
                 arr = np.lib.format.read_array(f, allow_pickle=False)
+            if saved_dtypes is not None:
+                true_dtype = _resolve_dtype(saved_dtypes[i])
+                if arr.dtype != true_dtype:
+                    # extension dtype stored as same-width uint bits
+                    arr = arr.view(true_dtype)
             arr = arr.astype(tmpl.dtype) if hasattr(tmpl, "dtype") else arr
             out.append(_place(arr, sh))
     return jax.tree_util.tree_unflatten(treedef, out)

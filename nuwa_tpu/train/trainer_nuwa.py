@@ -112,10 +112,7 @@ class NUWATrainer:
                 # on the flat layout; stages are statically identical, so
                 # stage 0's mask slice covers every stacked slot.
                 from jax.sharding import NamedSharding, PartitionSpec
-                from ..parallel.pipeline import (
-                    stack_stage_params,
-                    validate_stages,
-                )
+                from ..parallel.pipeline import validate_stages
                 from .optimizer import weight_decay_mask
 
                 S = mesh.shape["pipe"]
@@ -125,19 +122,36 @@ class NUWATrainer:
                     wd_mask["video_transformer"],
                     layers=wd_mask["video_transformer"]["layers"][:L],
                 )
-                params = jax.device_put(params, replicated(mesh))
-                params = dict(
+                # stack + shard the decoder stack leaf-by-leaf BEFORE any
+                # replication: the stack is the memory-dominant subtree and
+                # must never exist fully replicated (or fully stacked on one
+                # device) even transiently — that spike is exactly what PP
+                # exists to avoid. Only the non-stack remainder replicates.
+                pipe_sh = NamedSharding(mesh, PartitionSpec("pipe"))
+                flat_layers = params["video_transformer"]["layers"]
+                stages = [
+                    flat_layers[s * L : (s + 1) * L] for s in range(S)
+                ]
+                stacked = [
+                    jax.tree.map(
+                        lambda *xs: jax.device_put(jnp.stack(xs), pipe_sh),
+                        *(stages[s][j] for s in range(S)),
+                    )
+                    for j in range(L)
+                ]
+                rest = dict(
                     params,
+                    video_transformer={
+                        k: v
+                        for k, v in params["video_transformer"].items()
+                        if k != "layers"
+                    },
+                )
+                rest = jax.device_put(rest, replicated(mesh))
+                params = dict(
+                    rest,
                     video_transformer=dict(
-                        params["video_transformer"],
-                        layers=jax.tree.map(
-                            lambda leaf: jax.device_put(
-                                leaf, NamedSharding(mesh, PartitionSpec("pipe"))
-                            ),
-                            stack_stage_params(
-                                params["video_transformer"]["layers"], S
-                            ),
-                        ),
+                        rest["video_transformer"], layers=stacked
                     ),
                 )
             elif pipeline_parallel:
@@ -182,14 +196,99 @@ class NUWATrainer:
                 if mesh is not None
                 else None
             )
-            restored = restore_latest(
-                self.results_folder, "nuwa_trainstate", self.state, shardings
-            )
+            try:
+                restored = restore_latest(
+                    self.results_folder, "nuwa_trainstate", self.state,
+                    shardings,
+                )
+            except Exception:
+                # checkpoints written before the pre-stacked PP layout store
+                # the decoder stack as a flat layer list — restore through a
+                # flat template, then re-stack and re-place
+                if not (pipeline_parallel and mesh is not None
+                        and mesh.shape.get("pipe", 1) > 1):
+                    raise
+                restored = self._restore_legacy_flat_pp(mesh)
             if restored is not None:
                 step, self.state = restored
                 print(f"resumed from checkpoint at step {step}")
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
+
+    @staticmethod
+    def _map_stacked_layers(tree, fn):
+        """Apply ``fn`` to every params-shaped 'video_transformer'/'layers'
+        subtree (params, EMA, AdamW mu/nu all share the params structure).
+        Rebuilds dicts/lists/namedtuples (optax states) around it."""
+        m = NUWATrainer._map_stacked_layers
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if (
+                    k == "video_transformer"
+                    and isinstance(v, dict)
+                    and "layers" in v
+                ):
+                    out[k] = dict(v, layers=fn(v["layers"]))
+                else:
+                    out[k] = m(v, fn)
+            return out
+        if isinstance(tree, tuple) and hasattr(tree, "_fields"):
+            return type(tree)(*(m(v, fn) for v in tree))
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(m(v, fn) for v in tree)
+        return tree
+
+    def _restore_legacy_flat_pp(self, mesh):
+        """Resume a checkpoint written before the pre-stacked PP layout
+        (decoder stack stored as a flat replicated layer list): restore
+        through a flat template, re-stack, and place into the live
+        shardings. One full host copy of the state — a migration path,
+        not the steady-state restore."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.pipeline import stack_stage_params
+
+        S = mesh.shape["pipe"]
+
+        def unstack_tmpl(stacked):
+            layers = []
+            for s in range(S):
+                layers.extend(
+                    jax.tree.map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype),
+                        stacked,
+                    )
+                )
+            return layers
+
+        template = self._map_stacked_layers(self.state, unstack_tmpl)
+        restored = restore_latest(
+            self.results_folder, "nuwa_trainstate", template, None
+        )
+        if restored is None:
+            return None
+        step, flat_state = restored
+
+        def restack(layers):
+            return jax.tree.map(
+                lambda leaf: jax.device_put(
+                    leaf, NamedSharding(mesh, PartitionSpec("pipe"))
+                ),
+                stack_stage_params(layers, S),
+            )
+
+        state = self._map_stacked_layers(flat_state, restack)
+        state = jax.tree.map(
+            lambda live, new: (
+                new
+                if getattr(new, "sharding", None) == live.sharding
+                else jax.device_put(np.asarray(new), live.sharding)
+            ),
+            self.state,
+            state,
+        )
+        return step, state
 
     def _make_train_step(self):
         nuwa, tx, accum = self.nuwa, self.tx, self.grad_accum_every

@@ -198,11 +198,10 @@ def part_b_pp_state():
     rows = {}
     for S in (1, 2, 4, 8):
         if S == 1:
+            # single device holds everything; adamw m+v mirror params
             layers = p["layers"]
-            per_dev = _bytes(layers) + _bytes(layers)  # params + m (x2 for v below)
-            # measure real placement: single device holds everything
             params_dev = _bytes(layers)
-            opt_dev = 2 * _bytes(layers)  # adamw m+v mirror params
+            opt_dev = 2 * _bytes(layers)
         else:
             mesh = Mesh(np.asarray(jax.devices()[:S]), ("pipe",))
             stacked = jax.tree.map(

@@ -926,6 +926,111 @@ def test_nuwa_trainer_pipeline_parallel(tmp_path):
     assert opt_leaves, "optimizer moments lost the pipe sharding"
 
 
+def test_nuwa_trainer_pp_resumes_legacy_flat_checkpoint(tmp_path):
+    """A checkpoint written with the flat (pre-round-5) decoder-stack layout
+    resumes into the pre-stacked pipe-sharded trainer: layers re-stack, the
+    step counter and params carry over."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = _cp_model().replace(dec_depth=4)
+    params = model.init(KEY)
+    folder = tmp_path / "run"
+
+    def mk(**kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=8 * 4, vocab=16),
+            num_train_steps=2, batch_size=4, grad_accum_every=1,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=1, seed=5, **kw,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_flat = mk(resume=False)  # plain trainer: flat layer list
+    t_flat.train()
+    assert int(t_flat.state["step"]) == 2
+
+    mesh = make_mesh(data=2, pipe=2, devices=jax.devices()[:4])
+    t_pp = mk(
+        mesh=mesh, pipeline_parallel=True, pipeline_microbatches=2,
+        resume=True,
+    )
+    assert int(t_pp.state["step"]) == 2
+    S = mesh.shape["pipe"]
+    stacked = t_pp.state["params"]["video_transformer"]["layers"]
+    flat = t_flat.state["params"]["video_transformer"]["layers"]
+    L = len(flat) // S
+    for s in range(S):
+        for j in range(L):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a[s]), np.asarray(b), atol=1e-6
+                ),
+                stacked[j], flat[s * L + j],
+            )
+    for leaf in jax.tree.leaves(stacked):
+        assert "pipe" in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_nuwa_trainer_pipeline_parallel_zero1(tmp_path):
+    """zero1=True composed with pipeline_parallel: the stacked decoder
+    moments KEEP their 'pipe' sharding (ZeRO must add 'data', not replace
+    the existing layout) and the losses still match the plain trainer."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = _cp_model().replace(dec_depth=4)
+    params = model.init(KEY)
+    mesh = make_mesh(data=2, pipe=2, devices=jax.devices()[:4])
+
+    def mk(folder, **kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=8 * 4, vocab=16),
+            num_train_steps=2, batch_size=4, grad_accum_every=2,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=5, resume=False, **kw,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_plain = mk(tmp_path / "plain")
+    losses_plain = []
+    t_plain.train(log_fn=lambda logs: losses_plain.append(logs["loss"]))
+
+    t_z = mk(
+        tmp_path / "ppz", mesh=mesh, pipeline_parallel=True,
+        pipeline_microbatches=2, zero1=True,
+    )
+    losses_z = []
+    t_z.train(log_fn=lambda logs: losses_z.append(logs["loss"]))
+    np.testing.assert_allclose(losses_z, losses_plain, rtol=2e-4)
+
+    # every stacked decoder moment leaf keeps 'pipe'; divisible leaves also
+    # carry 'data' (both after training — the jit constraint held)
+    import optax
+
+    moments = [
+        s for s in jax.tree.leaves(
+            t_z.state["opt"],
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert moments
+    stacked_m = [
+        l
+        for st in moments
+        for l in jax.tree.leaves(st.mu["video_transformer"]["layers"])
+    ]
+    assert stacked_m
+    for leaf in stacked_m:
+        assert "pipe" in str(leaf.sharding.spec), leaf.sharding
+    assert any("data" in str(l.sharding.spec) for l in stacked_m), (
+        "no stacked moment gained a 'data' shard"
+    )
+
+
 def test_sketch_model_forward_pipeline_parallel():
     """NUWASketch.forward(pp_mesh=...): the SparseCross2DNA decoder pipelines
     (dec_depth 4, dilation cycle (1, 2), 2 stages); loss matches plain."""

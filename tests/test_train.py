@@ -81,6 +81,37 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["b"]["c"]), 1.0)
 
 
+def test_checkpoint_roundtrip_extension_dtypes(tmp_path):
+    """bfloat16 (and other ml_dtypes) leaves must round-trip bit-exactly:
+    .npy cannot represent them, so the format stores same-width uint bits
+    plus the true dtype in the manifest."""
+    key = jax.random.PRNGKey(0)
+    tree = {
+        "bf16": jax.random.normal(key, (4, 4)).astype(jnp.bfloat16),
+        "f32": jnp.arange(3.0),
+        "i32": jnp.asarray([1, 2], jnp.int32),
+    }
+    save_checkpoint(tmp_path, "x", 1, tree)
+    template = jax.tree.map(jnp.zeros_like, tree)
+    step, restored = restore_latest(tmp_path, "x", template)
+    assert step == 1
+    assert restored["bf16"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["bf16"]).view(np.uint16),
+        np.asarray(tree["bf16"]).view(np.uint16),
+    )
+    np.testing.assert_allclose(np.asarray(restored["f32"]), np.arange(3.0))
+
+
+def test_load_checkpoint_rejects_partial_shardings(tmp_path):
+    from nuwa_tpu.train.checkpoint import load_checkpoint
+
+    tree = {"a": jnp.ones(2), "b": jnp.ones(3)}
+    path = save_checkpoint(tmp_path, "p", 1, tree)
+    with pytest.raises(ValueError, match="mirror"):
+        load_checkpoint(path, tree, shardings={"a": None})
+
+
 def test_pad_collate():
     batch = [
         (np.array([1, 2, 3]), np.zeros((2, 1, 4, 4))),
