@@ -340,6 +340,38 @@ class SandwichX(Sandwich):
 SandwichX = dataclass(frozen=True)(SandwichX)
 
 
+def reversible_dual_blocks(blocks, cp_mesh=None, cp_axis="data"):
+    """Adapt a ``DualModalityDecoder.blocks()`` schedule to
+    ``reversible_dual``'s calling convention: attach the ctx-key routes each
+    of the four sub-functions reads, and (optionally) statically bind a
+    context-parallel mesh into the video self-attn module. Shared by the
+    reversible forward and the pipelined reversible runtime."""
+    rev_blocks = []
+    for btype, mods, _ in blocks:
+        if btype == "self":
+            if cp_mesh is not None:
+                f, g, j, k = mods
+                mods = (BindCP(f, cp_mesh=cp_mesh, cp_axis=cp_axis), g, j, k)
+            routes = {"f": (("video_mask", "mask"),), "g": (),
+                      "j": (("audio_mask", "mask"),), "k": ()}
+        elif btype == "cross":
+            routes = {
+                "f": ("context", "context_mask", ("video_mask", "mask")),
+                "g": (),
+                "j": ("context", "context_mask", ("audio_mask", "mask")),
+                "k": (),
+            }
+        else:
+            routes = {
+                "f": (("video_mask", "mask"), ("audio_mask", "context_mask")),
+                "g": (),
+                "j": (("audio_mask", "mask"), ("video_mask", "context_mask")),
+                "k": (),
+            }
+        rev_blocks.append((btype, mods, routes))
+    return tuple(rev_blocks)
+
+
 @dataclass(frozen=True)
 class ReversibleDualModalityDecoder(DualModalityDecoder):
     """Reversible quad-stream variant (reference :1489-1655)."""
@@ -364,29 +396,7 @@ class ReversibleDualModalityDecoder(DualModalityDecoder):
         # adapt the generic schedule to reversible_dual's calling convention:
         # routes reference ctx keys directly; a CP mesh is static config and
         # binds into the video self-attn module (see transformer.BindCP)
-        rev_blocks = []
-        for btype, mods, _ in blocks:
-            if btype == "self":
-                if cp_mesh is not None:
-                    f, g, j, k = mods
-                    mods = (BindCP(f, cp_mesh=cp_mesh, cp_axis=cp_axis), g, j, k)
-                routes = {"f": (("video_mask", "mask"),), "g": (),
-                          "j": (("audio_mask", "mask"),), "k": ()}
-            elif btype == "cross":
-                routes = {
-                    "f": ("context", "context_mask", ("video_mask", "mask")),
-                    "g": (),
-                    "j": ("context", "context_mask", ("audio_mask", "mask")),
-                    "k": (),
-                }
-            else:
-                routes = {
-                    "f": (("video_mask", "mask"), ("audio_mask", "context_mask")),
-                    "g": (),
-                    "j": (("audio_mask", "mask"), ("video_mask", "context_mask")),
-                    "k": (),
-                }
-            rev_blocks.append((btype, mods, routes))
+        rev_blocks = reversible_dual_blocks(blocks, cp_mesh=cp_mesh, cp_axis=cp_axis)
 
         ctx = {
             "context": context,
@@ -401,7 +411,7 @@ class ReversibleDualModalityDecoder(DualModalityDecoder):
                     ctx[f"key{i}{suffix}"] = keys[4 * i + s]
 
         video, audio = dual_reversible_sequence(
-            tuple(rev_blocks), p["layers"], video, audio, ctx, reverse=reverse
+            rev_blocks, p["layers"], video, audio, ctx, reverse=reverse
         )
         norm = StableLayerNorm(self.dim)
         return norm(p["video_norm"], video), norm(p["audio_norm"], audio)

@@ -269,12 +269,8 @@ class NUWA(Module):
             emb = emb.astype(self._dtype)
         if pp_mesh is not None:
             # GPipe over the 'pipe' mesh axis (parallel/pipeline.py);
-            # reversible stacks run their own custom_vjp sequence and are
-            # not pipelineable
-            if self.dec_reversible:
-                raise ValueError(
-                    "pipeline parallelism requires dec_reversible=False"
-                )
+            # reversible stacks pipeline with their O(1)-memory runtime
+            # intact (the carry becomes the (x1, x2) stream pair)
             if cp_mesh is not None:
                 raise ValueError("PP does not compose with CP")
             from ..parallel.pipeline import pipelined_transformer

@@ -218,10 +218,6 @@ class NUWASketch(Module):
         if self._dtype is not None:
             emb = emb.astype(self._dtype)
         if pp_mesh is not None:
-            if self.dec_reversible:
-                raise ValueError(
-                    "pipeline parallelism requires dec_reversible=False"
-                )
             if cp_mesh is not None:
                 raise ValueError("PP does not compose with CP")
             from ..parallel.pipeline import pipelined_transformer

@@ -139,7 +139,7 @@ class NUWAVideoAudio(Module):
     audio_loss_weight: float = 1.0
     cross_modality_attn_every: int = 3
     dec_remat: bool = False  # checkpoint each non-reversible decoder block
-    # (the memory knob for PP training, which requires dec_reversible=False)
+    # (a memory knob for dec_reversible=False; PP pipelines reversible too)
     compute_dtype: Optional[str] = None
 
     # ---- derived ----------------------------------------------------------
@@ -299,12 +299,9 @@ class NUWAVideoAudio(Module):
         if pp_mesh is not None:
             # GPipe both modality streams over the 'pipe' mesh axis
             # (parallel/pipeline.pipelined_dual_decoder); the reversible
-            # quad-stream runtime runs its own custom_vjp sequence and is
-            # not pipelineable
-            if self.dec_reversible:
-                raise ValueError(
-                    "pipeline parallelism requires dec_reversible=False"
-                )
+            # quad-stream runtime pipelines intact — the carry becomes the
+            # (v1, v2, a1, a2) quad and each stage runs its block slice
+            # through the O(1)-memory custom_vjp runner
             if cp_mesh is not None:
                 raise ValueError("PP does not compose with CP")
             from ..parallel.pipeline import pipelined_dual_decoder

@@ -26,6 +26,17 @@ Two entry points share the ``_gpipe`` scaffolding: ``pipelined_transformer``
 (single activation stream) and ``pipelined_dual_decoder`` (the video+audio
 pair rides the pipeline together, so the cross-modality exchange blocks
 always find both streams on the same stage device).
+
+Reversible stacks pipeline too: the GPipe carry simply becomes the
+reversible stream *pair* (x1, x2) — or the quad (v1, v2, a1, a2) for the
+dual decoder — duplicated at stage 0 and averaged after stage S-1, and each
+stage runs its couple slice through the O(1)-memory ``custom_vjp`` runner
+(``reversible.make_reversible_sequence`` /
+``reversible_dual.make_dual_reversible_sequence``). The scan over
+microbatch steps then stores only the per-step stream carries; within a
+stage the backward reconstructs activations couple-by-couple, so PP no
+longer forces the remat-instead-of-reversible trade (measured 1.44× step
+tax on the flagship, docs/BENCHMARKS.md "What PP buys").
 """
 from __future__ import annotations
 
@@ -65,6 +76,21 @@ def validate_stages(transformer, n_stages: int) -> int:
     """Check the layer menu splits into ``n_stages`` statically identical
     stages; returns the per-stage menu length."""
     return _validate_menu(transformer.layer_menu, n_stages)
+
+
+def stage_param_slots(transformer, n_stages: int) -> int:
+    """Per-stage *param-slot* count — what ``p['layers']`` is indexed by:
+    menu entries for a plain ``Transformer``, (f, g) couples for a
+    ``ReversibleTransformer`` (whose params are per-couple, shorter than the
+    menu). Validates stage-periodicity either way."""
+    from ..transformer import ReversibleTransformer
+
+    if isinstance(transformer, ReversibleTransformer):
+        couples = transformer._couples()
+        # wrap each couple whole so _validate_menu's (e[0], e[1]) compare
+        # covers (f_mod, f_route, g_mod, g_route) in one shot
+        return _validate_menu(tuple(("couple", c) for c in couples), n_stages)
+    return validate_stages(transformer, n_stages)
 
 
 def validate_dual_stages(decoder, n_stages: int) -> int:
@@ -257,11 +283,28 @@ def pipelined_transformer(
     per-layer keys are folded with the microbatch index (the unsharded path
     draws one mask over the full batch, so bit-parity across the two
     layouts is not defined there).
+
+    ``ReversibleTransformer`` stacks pipeline with their O(1)-memory
+    runtime intact: the carry is the (x1, x2) stream pair and each stage
+    runs its couple slice through ``make_reversible_sequence`` (see module
+    docstring).
     """
+    from ..transformer import ReversibleTransformer
+
+    reversible = isinstance(transformer, ReversibleTransformer)
     S = mesh.shape[axis]
-    L = validate_stages(transformer, S)
-    stage_menu = transformer.layer_menu[:L]
-    if context is None and any(kind == "cross" for kind, _ in stage_menu):
+    if reversible:
+        couples = transformer._couples()
+        L = stage_param_slots(transformer, S)
+        stage_couples = couples[:L]
+        needs_context = any(
+            "context" in c[1] or "context" in c[3] for c in stage_couples
+        )
+    else:
+        L = validate_stages(transformer, S)
+        stage_menu = transformer.layer_menu[:L]
+        needs_context = any(kind == "cross" for kind, _ in stage_menu)
+    if context is None and needs_context:
         raise ValueError(
             "pipelined_transformer: the transformer has cross-attention "
             "layers (cross_attend=True) but no `context=` was given"
@@ -290,6 +333,40 @@ def pipelined_transformer(
         ("rotary_pos_emb", rotary_pos_emb, P()),
         ("key", key, P()),
     ]
+
+    if reversible:
+        from ..reversible import make_reversible_sequence
+
+        run = make_reversible_sequence(stage_couples)
+
+        def rev_stage_fn(sp, xs, opt, mb_i, s_idx):
+            x1, x2 = xs
+            ctx = {
+                name: _pick(opt[name], mb_i)
+                for name in ("context", "mask", "context_mask")
+                if name in opt
+            }
+            if "rotary_pos_emb" in opt:
+                ctx["rotary_pos_emb"] = opt["rotary_pos_emb"]
+            if "key" in opt:
+                for j in range(L):
+                    lk = jax.random.fold_in(opt["key"], s_idx * L + j)
+                    lk = jax.random.fold_in(lk, mb_i)
+                    if data_axis is not None:
+                        lk = jax.random.fold_in(
+                            lk, jax.lax.axis_index(data_axis)
+                        )
+                    ctx[f"key{j}f"], ctx[f"key{j}g"] = jax.random.split(lk)
+            return run(sp, x1, x2, ctx)
+
+        # the two reversible streams ride the pipeline together, duplicated
+        # from the input at stage 0 and averaged after the last stage
+        # (reversible.reversible_sequence's duplicate/mean convention)
+        o1, o2 = _gpipe(
+            mesh, axis, data_axis, M, stacked, (xm, xm), opts, rev_stage_fn
+        )
+        out = ((o1 + o2) * 0.5).reshape(b, *x.shape[1:])
+        return StableLayerNorm(transformer.dim)(p["norm"], out)
 
     def stage_fn(sp, xs, opt, mb_i, s_idx):
         (h,) = xs
@@ -347,9 +424,13 @@ def pipelined_dual_decoder(
     audio_mask=None,
     key=None,
 ):
-    """GPipe the (non-reversible) ``DualModalityDecoder`` over
-    ``mesh.shape[axis]`` stages: both modality streams ride the same
-    pipeline, shifted together stage→stage with one ``lax.ppermute`` each.
+    """GPipe the ``DualModalityDecoder`` over ``mesh.shape[axis]`` stages:
+    both modality streams ride the same pipeline, shifted together
+    stage→stage with one ``lax.ppermute`` each. A
+    ``ReversibleDualModalityDecoder`` pipelines with its O(1)-memory quad
+    runtime intact — the carry becomes (v1, v2, a1, a2) and each stage runs
+    its block slice through ``make_dual_reversible_sequence`` (see module
+    docstring).
 
     Reference semantics being pipelined:
     /root/reference/nuwa_pytorch/nuwa_pytorch.py:1299-1487 (per-depth video∥
@@ -362,8 +443,13 @@ def pipelined_dual_decoder(
     per-block keys are folded with (global block index, microbatch index),
     same caveat as ``pipelined_transformer``.
     """
-    from ..dual_decoder import apply_dual_block
+    from ..dual_decoder import (
+        ReversibleDualModalityDecoder,
+        apply_dual_block,
+        reversible_dual_blocks,
+    )
 
+    reversible = isinstance(decoder, ReversibleDualModalityDecoder)
     S = mesh.shape[axis]
     blocks = decoder.blocks()
     L = _validate_menu(blocks, S)
@@ -391,6 +477,45 @@ def pipelined_dual_decoder(
         ("audio_mask", mb_split(audio_mask), row_spec),
         ("key", key, P()),
     ]
+
+    if reversible:
+        from ..reversible_dual import make_dual_reversible_sequence
+
+        run = make_dual_reversible_sequence(reversible_dual_blocks(stage_menu))
+
+        def rev_stage_fn(sp, xs, opt, mb_i, s_idx):
+            v1, v2, a1, a2 = xs
+            ctx = {
+                name: _pick(opt[name], mb_i)
+                for name in (
+                    "context", "context_mask", "video_mask", "audio_mask"
+                )
+                if name in opt
+            }
+            if "key" in opt:
+                for j in range(L):
+                    lk = jax.random.fold_in(opt["key"], s_idx * L + j)
+                    lk = jax.random.fold_in(lk, mb_i)
+                    if data_axis is not None:
+                        lk = jax.random.fold_in(
+                            lk, jax.lax.axis_index(data_axis)
+                        )
+                    sub = jax.random.split(lk, 4)
+                    for s, suffix in enumerate("fgjk"):
+                        ctx[f"key{j}{suffix}"] = sub[s]
+            return run(sp, v1, v2, a1, a2, ctx)
+
+        # both modalities' reversible stream pairs ride the pipeline as one
+        # quad carry, duplicated at stage 0 and averaged after stage S-1
+        # (reversible_dual.dual_reversible_sequence's convention)
+        o_v1, o_v2, o_a1, o_a2 = _gpipe(
+            mesh, axis, data_axis, M, stacked, (vm, vm, am, am), opts,
+            rev_stage_fn,
+        )
+        v_out = ((o_v1 + o_v2) * 0.5).reshape(b, *video.shape[1:])
+        a_out = ((o_a1 + o_a2) * 0.5).reshape(b, *audio.shape[1:])
+        norm = StableLayerNorm(decoder.dim)
+        return norm(p["video_norm"], v_out), norm(p["audio_norm"], a_out)
 
     def stage_fn(sp, xs, opt, mb_i, s_idx):
         v, a = xs

@@ -112,11 +112,13 @@ class NUWATrainer:
                 # on the flat layout; stages are statically identical, so
                 # stage 0's mask slice covers every stacked slot.
                 from jax.sharding import NamedSharding, PartitionSpec
-                from ..parallel.pipeline import validate_stages
+                from ..parallel.pipeline import stage_param_slots
                 from .optimizer import weight_decay_mask
 
                 S = mesh.shape["pipe"]
-                L = validate_stages(nuwa.video_transformer, S)
+                # param-slot count per stage: menu entries for a plain
+                # decoder, (f, g) couples for a reversible one
+                L = stage_param_slots(nuwa.video_transformer, S)
                 wd_mask = weight_decay_mask(params)
                 wd_mask["video_transformer"] = dict(
                     wd_mask["video_transformer"],

@@ -801,6 +801,120 @@ def test_pipeline_dropout_runs_and_is_deterministic():
     np.testing.assert_allclose(np.asarray(r), np.asarray(a), atol=1e-6)
 
 
+def test_pipeline_reversible_transformer_parity():
+    """PP×reversible: a ReversibleTransformer pipelines with its O(1)-memory
+    custom_vjp runtime intact — the (x1, x2) stream pair is the pipeline
+    carry. Forward and parameter grads match the plain reversible stack, at
+    S=2/M=2, with cross-attention couples in the menu."""
+    from nuwa_tpu.parallel.pipeline import pipelined_transformer
+    from nuwa_tpu.transformer import ReversibleTransformer
+
+    tr = ReversibleTransformer(
+        dim=32, depth=4, causal=True, heads=2, dim_head=16, cross_attend=True
+    )
+    p = tr.init(KEY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 32))
+    cmask = jnp.ones((4, 6), bool).at[:, 4:].set(False)
+    w = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    mesh = _pipe_mesh(2)
+
+    ref = tr(p, x, context=ctx, context_mask=cmask)
+    out = pipelined_transformer(
+        tr, p, x, mesh, num_microbatches=2, context=ctx, context_mask=cmask
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+    g_ref = jax.grad(
+        lambda p: jnp.mean(tr(p, x, context=ctx, context_mask=cmask) * w)
+    )(p)
+    g = jax.grad(
+        lambda p: jnp.mean(
+            pipelined_transformer(
+                tr, p, x, mesh, num_microbatches=2,
+                context=ctx, context_mask=cmask,
+            ) * w
+        )
+    )(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g_ref, g,
+    )
+
+    # dropout under the reversible pipeline: deterministic given the key,
+    # different across keys (bit-parity with the unsharded layout is not
+    # defined — keys fold with the microbatch index)
+    trd = tr.replace(attn_dropout=0.3, ff_dropout=0.3)
+    run = lambda k: pipelined_transformer(
+        trd, p, x, mesh, num_microbatches=2,
+        context=ctx, context_mask=cmask, key=k,
+    )
+    a = run(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(run(jax.random.PRNGKey(7)))
+    )
+    assert float(jnp.max(jnp.abs(a - run(jax.random.PRNGKey(8))))) > 1e-4
+
+
+def test_pipeline_reversible_dual_decoder_parity():
+    """PP×reversible for the dual decoder: the (v1, v2, a1, a2) quad rides
+    the pipeline carry through the O(1)-memory dual runtime; forward and
+    grads match the plain reversible dual decoder (xmod block per stage)."""
+    from nuwa_tpu.dual_decoder import ReversibleDualModalityDecoder
+    from nuwa_tpu.parallel.pipeline import pipelined_dual_decoder
+
+    d = ReversibleDualModalityDecoder(
+        dim=16, depth=2, heads=2, dim_head=8,
+        num_video_tokens_per_frame=4, num_audio_tokens_per_video_frame=3,
+        sparse_3dna_video_shape=(2, 2, 2), sparse_2dna_kernel_size=3,
+        cross_modality_attn_every=1, audio_tokens_per_timestep=1,
+    )
+    p = d.init(KEY)
+    video = jax.random.normal(KEY, (4, 9, 16))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 5, 16))
+    cmask = jnp.ones((4, 5), bool).at[:, 4:].set(False)
+    wv = jax.random.normal(jax.random.PRNGKey(3), video.shape)
+    wa = jax.random.normal(jax.random.PRNGKey(4), audio.shape)
+    mesh = _pipe_mesh(2)
+
+    vref, aref = d(p, video, audio, context=ctx, context_mask=cmask)
+    v, a = pipelined_dual_decoder(
+        d, p, video, audio, mesh, num_microbatches=2,
+        context=ctx, context_mask=cmask,
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(aref), atol=1e-5, rtol=1e-5)
+
+    def loss(fn):
+        def go(p):
+            v, a = fn(p)
+            return jnp.mean(v * wv) + jnp.mean(a * wa)
+        return go
+
+    g_ref = jax.grad(
+        loss(lambda p: d(p, video, audio, context=ctx, context_mask=cmask))
+    )(p)
+    g = jax.grad(
+        loss(
+            lambda p: pipelined_dual_decoder(
+                d, p, video, audio, mesh, num_microbatches=2,
+                context=ctx, context_mask=cmask,
+            )
+        )
+    )(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g_ref, g,
+    )
+
+
 def test_pipeline_x_data_parallel():
     """PP×DP on a ('data', 'pipe') mesh: microbatch rows shard over 'data',
     params replicate across it; forward and grads match the plain stack
@@ -836,8 +950,9 @@ def test_pipeline_x_data_parallel():
 
 
 def test_nuwa_forward_pipeline_parallel():
-    """Model-level PP: NUWA.forward(pp_mesh=...) loss + grads == plain, and
-    the reversible decoder is rejected loudly."""
+    """Model-level PP: NUWA.forward(pp_mesh=...) loss + grads == plain, for
+    the plain AND the reversible decoder (the reversible stream pair rides
+    the pipeline carry)."""
     from jax.sharding import Mesh
 
     model = NUWA(
@@ -869,11 +984,23 @@ def test_nuwa_forward_pipeline_parallel():
     )
 
     rev = model.replace(dec_reversible=True)
-    with pytest.raises(ValueError, match="dec_reversible=False"):
-        rev.forward(
-            rev.init(KEY), text=text, video=video, return_loss=True,
+    pr = rev.init(KEY)
+    loss_rr, g_rr = jax.value_and_grad(
+        lambda p: rev.forward(p, text=text, video=video, return_loss=True)
+    )(pr)
+    loss_rp, g_rp = jax.value_and_grad(
+        lambda p: rev.forward(
+            p, text=text, video=video, return_loss=True,
             pp_mesh=mesh, pp_microbatches=2,
         )
+    )(pr)
+    np.testing.assert_allclose(float(loss_rp), float(loss_rr), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        ),
+        g_rr, g_rp,
+    )
 
 
 def test_nuwa_trainer_pipeline_parallel(tmp_path):
@@ -924,6 +1051,47 @@ def test_nuwa_trainer_pipeline_parallel(tmp_path):
         if jnp.ndim(l) >= 1 and "pipe" in str(l.sharding.spec)
     ]
     assert opt_leaves, "optimizer moments lost the pipe sharding"
+
+
+def test_nuwa_trainer_pipeline_parallel_reversible(tmp_path):
+    """PP trainer with a REVERSIBLE decoder: couple params (not menu
+    entries) stack over 'pipe' (stage_param_slots), the wd mask slices per
+    couple, and losses match the plain reversible trainer."""
+    from nuwa_tpu.train.trainer_nuwa import NUWATrainer
+
+    model = _cp_model().replace(dec_depth=4, dec_reversible=True)
+    params = model.init(KEY)
+    mesh = make_mesh(pipe=2, devices=jax.devices()[:2])
+
+    def mk(folder, **kw):
+        t = NUWATrainer(
+            nuwa=model, params=params,
+            dataset=_ToyVideoText(video_tokens=8 * 4, vocab=16),
+            num_train_steps=2, batch_size=4, grad_accum_every=1,
+            results_folder=str(folder), save_results_every=10**9,
+            save_model_every=10**9, seed=5, resume=False, **kw,
+        )
+        t._sample = lambda *a, **k: None
+        return t
+
+    t_plain = mk(tmp_path / "plain")
+    losses_plain = []
+    t_plain.train(log_fn=lambda logs: losses_plain.append(logs["loss"]))
+
+    t_pp = mk(
+        tmp_path / "pp", mesh=mesh, pipeline_parallel=True,
+        pipeline_microbatches=2,
+    )
+    losses_pp = []
+    t_pp.train(log_fn=lambda logs: losses_pp.append(logs["loss"]))
+
+    np.testing.assert_allclose(losses_pp, losses_plain, rtol=2e-4)
+
+    # couple params hold 1/S of the stack per device
+    S = mesh.shape["pipe"]
+    for leaf in jax.tree.leaves(t_pp.state["params"]["video_transformer"]["layers"]):
+        assert leaf.shape[0] == S
+        assert leaf.addressable_shards[0].data.nbytes * S == leaf.nbytes
 
 
 def test_nuwa_trainer_pp_resumes_legacy_flat_checkpoint(tmp_path):
@@ -1170,8 +1338,9 @@ def test_pipeline_dual_decoder_stage_validation():
 
 
 def test_nuwa_video_audio_forward_pipeline_parallel():
-    """Model-level PP on the dual model: loss + grads == plain, and the
-    reversible decoder is rejected loudly."""
+    """Model-level PP on the dual model: loss + grads == plain, for the
+    plain AND the reversible decoder (the (v1, v2, a1, a2) quad rides the
+    pipeline carry)."""
     from jax.sharding import Mesh
 
     from conftest import make_tiny_vae
@@ -1229,12 +1398,25 @@ def test_nuwa_video_audio_forward_pipeline_parallel():
     )
 
     rev = model.replace(dec_reversible=True)
-    with pytest.raises(ValueError, match="dec_reversible=False"):
-        rev.forward(
-            rev.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k)),
-            text=text, video=video, audio=audio, return_loss=True,
+    pr = rev.init(k, vae_params=vae.init(k), vae_state=vae.init_state(k))
+    loss_rr, g_rr = jax.value_and_grad(
+        lambda p: rev.forward(
+            p, text=text, video=video, audio=audio, return_loss=True
+        )
+    )(pr)
+    loss_rp, g_rp = jax.value_and_grad(
+        lambda p: rev.forward(
+            p, text=text, video=video, audio=audio, return_loss=True,
             pp_mesh=mesh, pp_microbatches=2,
         )
+    )(pr)
+    np.testing.assert_allclose(float(loss_rp), float(loss_rr), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        ),
+        g_rr, g_rp,
+    )
 
 
 def test_pipeline_dual_decoder_x_data_parallel():
